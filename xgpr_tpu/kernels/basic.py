@@ -1,0 +1,149 @@
+"""Fixed-vector SORF kernels: RBF, Matern, Cauchy, Linear.
+
+Parity notes (citations into /root/reference):
+- SORF state setup: sorf_kernel_baseclass.py:71-84 (padded dims, nblocks,
+  radem int8 diagonals, chi(df=padded) scaling).
+- RBF bounds [[1e-3, 1e1], [1e-6, 1e2]]: rbf.py:34-41.
+- Matern chi modification (divide by sqrt(chi2(2nu)/2nu)): matern.py:50-54.
+- Cauchy chi modification (multiply by sqrt(Exp(1))): cauchy.py:39-41.
+- Linear: identity features + optional intercept column, num_rffs forced to
+  D(+1), single lambda hyperparameter: linear.py:30-94.
+"""
+from math import ceil
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .kernel_baseclass import KernelBaseclass
+from ..ops.hadamard import next_pow2
+from ..ops.sorf import rbf_feature_map, rbf_feature_map_grad
+from ..utils import rng as state_rng
+
+
+class SORFKernelBaseclass(KernelBaseclass):
+    """Shared machinery for fixed-vector sine-cosine SORF kernels."""
+
+    def __init__(self, xdim, num_rffs, random_seed=123, device=None,
+                 double_precision=False, kernel_spec_parms=None):
+        super().__init__(xdim, num_rffs, sine_cosine_kernel=True,
+                         double_precision=double_precision,
+                         kernel_spec_parms=kernel_spec_parms)
+        if len(xdim) != 2:
+            raise ValueError(
+                "The dimensionality of the input is inappropriate for "
+                "the kernel you have selected.")
+        self.random_seed = random_seed
+        padded = next_pow2(xdim[-1])
+        nblocks = max(1, ceil(self.num_freqs / padded))
+        self.padded_dims = padded
+        self.nblocks = nblocks
+        sdtype = np.float64 if double_precision else np.float32
+        self.radem_diag = jnp.asarray(
+            state_rng.radem_diagonals(random_seed, nblocks, padded, sdtype))
+        self._chi_np = state_rng.chi_scaling(random_seed, padded,
+                                             self.num_freqs, sdtype)
+        self.chi_arr = jnp.asarray(self._chi_np)
+
+    def kernel_specific_transform(self, input_x, sequence_length=None):
+        sigma = jnp.asarray(self.hyperparams[1], dtype=input_x.dtype)
+        return _rbf_transform(input_x, self.radem_diag.astype(input_x.dtype),
+                              self.chi_arr.astype(input_x.dtype), sigma,
+                              self.fit_intercept)
+
+    def kernel_specific_gradient(self, input_x, sequence_length=None):
+        sigma = jnp.asarray(self.hyperparams[1], dtype=input_x.dtype)
+        return _rbf_grad(input_x, self.radem_diag.astype(input_x.dtype),
+                         self.chi_arr.astype(input_x.dtype), sigma,
+                         self.fit_intercept)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("fit_intercept",))
+def _rbf_transform(x, radem, chi, sigma, fit_intercept):
+    return rbf_feature_map(x * sigma, radem, chi, fit_intercept)
+
+
+@partial(jax.jit, static_argnames=("fit_intercept",))
+def _rbf_grad(x, radem, chi, sigma, fit_intercept):
+    return rbf_feature_map_grad(x, radem, chi, sigma, fit_intercept)
+
+
+class RBF(SORFKernelBaseclass):
+    """Gaussian (RBF) kernel via SORF random Fourier features."""
+
+    def __init__(self, xdim, num_rffs, random_seed=123, device=None,
+                 double_precision=False, kernel_spec_parms=None):
+        super().__init__(xdim, num_rffs, random_seed, device,
+                         double_precision, kernel_spec_parms)
+        self.hyperparams = np.ones((2,))
+        self.bounds = np.asarray([[1e-3, 1e1], [1e-6, 1e2]])
+
+
+class Matern(SORFKernelBaseclass):
+    """Matern kernel (nu in [1/2, 5/2]) via Student-t spectral sampling."""
+
+    def __init__(self, xdim, num_rffs, random_seed=123, device=None,
+                 double_precision=False, kernel_spec_parms=None):
+        super().__init__(xdim, num_rffs, random_seed, device,
+                         double_precision, kernel_spec_parms)
+        parms = kernel_spec_parms or {}
+        if "matern_nu" not in parms:
+            raise ValueError(
+                "Tried to initialize a Matern kernel without supplying nu.")
+        self.matern_nu = float(parms["matern_nu"])
+        if not 0.5 <= self.matern_nu <= 2.5:
+            raise ValueError("nu must be >= 1/2 and <= 5/2.")
+        modifier = state_rng.matern_chi_modifier(
+            random_seed, self.num_freqs, self.matern_nu, self._chi_np.dtype)
+        self._chi_np = self._chi_np / modifier
+        self.chi_arr = jnp.asarray(self._chi_np)
+        self.hyperparams = np.ones((2,))
+        self.bounds = np.asarray([[1e-3, 1e1], [1e-6, 1e2]])
+
+
+class Cauchy(SORFKernelBaseclass):
+    """Cauchy kernel (rational-quadratic, small alpha limit)."""
+
+    def __init__(self, xdim, num_rffs, random_seed=123, device=None,
+                 double_precision=False, kernel_spec_parms=None):
+        super().__init__(xdim, num_rffs, random_seed, device,
+                         double_precision, kernel_spec_parms)
+        modifier = state_rng.cauchy_chi_modifier(
+            random_seed, self.num_freqs, self._chi_np.dtype)
+        self._chi_np = self._chi_np * modifier
+        self.chi_arr = jnp.asarray(self._chi_np)
+        self.hyperparams = np.ones((2,))
+        self.bounds = np.asarray([[1e-3, 1e1], [1e-6, 1e2]])
+
+
+class Linear(KernelBaseclass):
+    """Linear kernel: identity features plus optional intercept column."""
+
+    def __init__(self, xdim, num_rffs, random_seed=123, device=None,
+                 double_precision=False, kernel_spec_parms=None):
+        parms = kernel_spec_parms or {}
+        fit_intercept = parms.get("intercept", True) is not False
+        actual_rffs = xdim[1] + 1 if fit_intercept else xdim[1]
+        super().__init__(xdim, actual_rffs,
+                         double_precision=double_precision,
+                         kernel_spec_parms=parms)
+        if len(xdim) > 2:
+            raise ValueError("The Linear kernel is only applicable for "
+                             "fixed vector input.")
+        self.fit_intercept = fit_intercept
+        self.hyperparams = np.ones((1,))
+        self.bounds = np.asarray([[1e-3, 1e1]])
+
+    def kernel_specific_transform(self, input_x, sequence_length=None):
+        if self.fit_intercept:
+            pad = jnp.zeros((input_x.shape[0], 1), dtype=input_x.dtype)
+            return jnp.concatenate([pad, input_x], axis=1)
+        return input_x
+
+    def kernel_specific_gradient(self, input_x, sequence_length=None):
+        xtrans = self.kernel_specific_transform(input_x)
+        return xtrans, jnp.zeros((xtrans.shape[0], 0, 0),
+                                 dtype=input_x.dtype)

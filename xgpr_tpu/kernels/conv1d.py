@@ -1,0 +1,188 @@
+"""Sequence / graph convolution SORF kernels.
+
+Parity (citations into /root/reference/src/xGPR/kernels/convolution_kernels):
+- ConvKernelBaseclass: padded dims = next_pow2(conv_width * D), radem sized
+  to ceil(F / padded) blocks, averaging in {none, sqrt, full} -> scaling_type
+  0/1/2, sequence_length mandatory (conv_kernel_baseclass.py:73-147).
+- Conv1dRBF bounds [[1e-3, 5], [1e-6, 1e2]] (conv1d_rbf.py:54).
+- Conv1dMatern / Conv1dCauchy apply the same chi modifications as their
+  fixed-vector counterparts (conv1d_matern.py:51-65).
+- Graph kernels fix conv_width = 1; GraphRBF bounds [[1e-3, 1e2],
+  [1e-2, 1e2]] (graph_rbf.py:42-48).
+"""
+from functools import partial
+from math import ceil
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .kernel_baseclass import KernelBaseclass
+from ..ops.hadamard import next_pow2
+from ..ops.conv import (conv_rbf_features, SCALING_NONE, SCALING_SQRT,
+                        SCALING_FULL)
+from ..utils import rng as state_rng
+
+_AVERAGING = {"none": SCALING_NONE, "sqrt": SCALING_SQRT,
+              "full": SCALING_FULL}
+
+
+@partial(jax.jit, static_argnames=("width", "scaling_type", "with_grad"))
+def _conv_transform(x, slen, radem, chi, sigma, width, scaling_type,
+                    with_grad):
+    return conv_rbf_features(x, slen, radem, chi, sigma, width,
+                             scaling_type, with_grad=with_grad)
+
+
+class ConvKernelBaseclass(KernelBaseclass):
+    """Shared setup for k-mer convolution SORF kernels."""
+
+    def __init__(self, xdim, num_rffs, random_seed=123,
+                 double_precision=False, conv_width=9,
+                 kernel_spec_parms=None):
+        super().__init__(xdim, num_rffs, sine_cosine_kernel=True,
+                         double_precision=double_precision,
+                         kernel_spec_parms=kernel_spec_parms)
+        if len(xdim) != 3:
+            raise RuntimeError(
+                "Tried to initialize a Conv1d kernel with a 2d x-array! "
+                "x should be a 3d array for Conv1d.")
+        parms = kernel_spec_parms or {}
+        averaging = parms.get("averaging", "none")
+        if averaging not in _AVERAGING:
+            raise RuntimeError(
+                "Unrecognized value for 'averaging', should be one of "
+                "'none', 'sqrt', 'full'.")
+        self.scaling_type = _AVERAGING[averaging]
+        self.conv_width = int(conv_width)
+        self.random_seed = random_seed
+
+        padded = next_pow2(self.conv_width * xdim[2])
+        nblocks = max(1, ceil(self.num_freqs / padded))
+        self.padded_dims, self.nblocks = padded, nblocks
+        sdtype = np.float64 if double_precision else np.float32
+        self.radem_diag = jnp.asarray(
+            state_rng.radem_diagonals(random_seed, nblocks, padded, sdtype))
+        self._chi_np = state_rng.chi_scaling(random_seed, padded,
+                                             self.num_freqs, sdtype)
+        self.chi_arr = jnp.asarray(self._chi_np)
+
+    def _require_lengths(self, input_x, sequence_length):
+        if sequence_length is None:
+            raise RuntimeError(
+                "sequence_length is required for convolution kernels.")
+        if input_x.shape[2] != self._xdim[2]:
+            raise RuntimeError("Unexpected input shape supplied.")
+
+    def kernel_specific_transform(self, input_x, sequence_length=None):
+        self._require_lengths(input_x, sequence_length)
+        sigma = jnp.asarray(self.hyperparams[1], dtype=input_x.dtype)
+        return _conv_transform(input_x, sequence_length,
+                               self.radem_diag.astype(input_x.dtype),
+                               self.chi_arr.astype(input_x.dtype), sigma,
+                               self.conv_width, self.scaling_type, False)
+
+    def kernel_specific_gradient(self, input_x, sequence_length=None):
+        self._require_lengths(input_x, sequence_length)
+        sigma = jnp.asarray(self.hyperparams[1], dtype=input_x.dtype)
+        return _conv_transform(input_x, sequence_length,
+                               self.radem_diag.astype(input_x.dtype),
+                               self.chi_arr.astype(input_x.dtype), sigma,
+                               self.conv_width, self.scaling_type, True)
+
+
+def _require_conv_width(parms):
+    if "conv_width" not in parms:
+        raise ValueError(
+            "conv_width must be included as a kernel-specific parameter "
+            "if using a sequence kernel.")
+
+
+class Conv1dRBF(ConvKernelBaseclass):
+    def __init__(self, xdim, num_rffs, random_seed=123, device=None,
+                 double_precision=False, kernel_spec_parms=None):
+        parms = kernel_spec_parms or {}
+        _require_conv_width(parms)
+        super().__init__(xdim, num_rffs, random_seed, double_precision,
+                         parms["conv_width"], parms)
+        self.hyperparams = np.ones((2,))
+        self.bounds = np.asarray([[1e-3, 5], [1e-6, 1e2]])
+
+
+class Conv1dMatern(ConvKernelBaseclass):
+    def __init__(self, xdim, num_rffs, random_seed=123, device=None,
+                 double_precision=False, kernel_spec_parms=None):
+        parms = kernel_spec_parms or {}
+        _require_conv_width(parms)
+        super().__init__(xdim, num_rffs, random_seed, double_precision,
+                         parms["conv_width"], parms)
+        if "matern_nu" not in parms:
+            raise ValueError("Conv1dMatern requires 'matern_nu'.")
+        self.matern_nu = float(parms["matern_nu"])
+        if not 0.5 <= self.matern_nu <= 2.5:
+            raise ValueError("nu must be >= 1/2 and <= 5/2.")
+        modifier = state_rng.matern_chi_modifier(
+            random_seed, self.num_freqs, self.matern_nu, self._chi_np.dtype)
+        self._chi_np = self._chi_np / modifier
+        self.chi_arr = jnp.asarray(self._chi_np)
+        self.hyperparams = np.ones((2,))
+        self.bounds = np.asarray([[1e-3, 5], [1e-6, 1e2]])
+
+
+class Conv1dCauchy(ConvKernelBaseclass):
+    def __init__(self, xdim, num_rffs, random_seed=123, device=None,
+                 double_precision=False, kernel_spec_parms=None):
+        parms = kernel_spec_parms or {}
+        _require_conv_width(parms)
+        super().__init__(xdim, num_rffs, random_seed, double_precision,
+                         parms["conv_width"], parms)
+        modifier = state_rng.cauchy_chi_modifier(
+            random_seed, self.num_freqs, self._chi_np.dtype)
+        self._chi_np = self._chi_np * modifier
+        self.chi_arr = jnp.asarray(self._chi_np)
+        self.hyperparams = np.ones((2,))
+        self.bounds = np.asarray([[1e-3, 5], [1e-6, 1e2]])
+
+
+class GraphRBF(ConvKernelBaseclass):
+    """Node-set kernel: conv_width fixed to 1 (graph_rbf.py:42-48)."""
+
+    def __init__(self, xdim, num_rffs, random_seed=123, device=None,
+                 double_precision=False, kernel_spec_parms=None):
+        super().__init__(xdim, num_rffs, random_seed, double_precision, 1,
+                         kernel_spec_parms or {})
+        self.hyperparams = np.ones((2,))
+        self.bounds = np.asarray([[1e-3, 1e2], [1e-2, 1e2]])
+
+
+class GraphMatern(ConvKernelBaseclass):
+    def __init__(self, xdim, num_rffs, random_seed=123, device=None,
+                 double_precision=False, kernel_spec_parms=None):
+        parms = kernel_spec_parms or {}
+        super().__init__(xdim, num_rffs, random_seed, double_precision, 1,
+                         parms)
+        if "matern_nu" not in parms:
+            raise ValueError("GraphMatern requires 'matern_nu'.")
+        self.matern_nu = float(parms["matern_nu"])
+        if not 0.5 <= self.matern_nu <= 2.5:
+            raise ValueError("nu must be >= 1/2 and <= 5/2.")
+        modifier = state_rng.matern_chi_modifier(
+            random_seed, self.num_freqs, self.matern_nu, self._chi_np.dtype)
+        self._chi_np = self._chi_np / modifier
+        self.chi_arr = jnp.asarray(self._chi_np)
+        self.hyperparams = np.ones((2,))
+        self.bounds = np.asarray([[1e-3, 1e2], [1e-2, 1e2]])
+
+
+class GraphCauchy(ConvKernelBaseclass):
+    def __init__(self, xdim, num_rffs, random_seed=123, device=None,
+                 double_precision=False, kernel_spec_parms=None):
+        parms = kernel_spec_parms or {}
+        super().__init__(xdim, num_rffs, random_seed, double_precision, 1,
+                         parms)
+        modifier = state_rng.cauchy_chi_modifier(
+            random_seed, self.num_freqs, self._chi_np.dtype)
+        self._chi_np = self._chi_np * modifier
+        self.chi_arr = jnp.asarray(self._chi_np)
+        self.hyperparams = np.ones((2,))
+        self.bounds = np.asarray([[1e-3, 1e2], [1e-2, 1e2]])

@@ -1,0 +1,126 @@
+"""Two-layer convolution kernel and the maxpool feature extractor.
+
+Parity:
+- Conv1dTwoLayer (l2_conv1d.py:60-222): layer 1 is a hyperparameter-free
+  ReLU + global-maxpool conv SORF map with init_rffs outputs; layer 2 is a
+  plain RBF SORF map on that profile (sigma applied between the layers).
+- FHTMaxpoolConv1dFeatureExtractor (conv_feature_extractor.py): the same
+  layer-1 operation exposed standalone for the FastConv1d static layer.
+"""
+from functools import partial
+from math import ceil
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .kernel_baseclass import KernelBaseclass
+from ..ops.hadamard import next_pow2
+from ..ops.conv import conv_maxpool_features
+from ..ops.sorf import rbf_feature_map, rbf_feature_map_grad
+from ..utils import rng as state_rng
+
+
+@partial(jax.jit, static_argnames=("width",))
+def _maxpool_transform(x, slen, radem, chi, width):
+    return conv_maxpool_features(x, slen, radem, chi, width)
+
+
+class Conv1dTwoLayer(KernelBaseclass):
+    """ReLU-maxpool conv features fed into an RBF SORF map."""
+
+    def __init__(self, xdim, num_rffs, random_seed=123, device=None,
+                 double_precision=False, kernel_spec_parms=None):
+        parms = kernel_spec_parms or {}
+        if "conv_width" not in parms:
+            raise ValueError("conv_width must be included as a "
+                             "kernel-specific parameter.")
+        if "init_rffs" not in parms:
+            raise ValueError("init_rffs must be included for the two layer "
+                             "conv1d kernel.")
+        if len(xdim) != 3:
+            raise RuntimeError("Conv1dTwoLayer requires 3d input.")
+        self.init_rffs = int(parms["init_rffs"])
+        if self.init_rffs % 2 != 0:
+            raise RuntimeError("init_rffs should be an even number.")
+
+        super().__init__(xdim, num_rffs, sine_cosine_kernel=True,
+                         double_precision=double_precision,
+                         kernel_spec_parms=parms)
+        self.hyperparams = np.ones((2,))
+        self.bounds = np.asarray([[1e-3, 5], [1e-6, 1e2]])
+        self.conv_width = int(parms["conv_width"])
+
+        sdtype = np.float64 if double_precision else np.float32
+        rng_master = np.random.default_rng(random_seed)
+        seed1 = random_seed
+        seed2 = int(rng_master.integers(0, 2**31 - 1))
+
+        # Layer 1: maxpool conv projection with init_rffs outputs.
+        padded1 = next_pow2(self.conv_width * xdim[2])
+        nblocks1 = max(1, ceil(self.init_rffs / padded1))
+        self.radem_diag1 = jnp.asarray(
+            state_rng.radem_diagonals(seed1, nblocks1, padded1, sdtype))
+        self.chi_arr1 = jnp.asarray(
+            state_rng.chi_scaling(seed1, padded1, self.init_rffs, sdtype))
+
+        # Layer 2: RBF on the init_rffs-dim profile.
+        padded2 = next_pow2(self.init_rffs)
+        nblocks2 = max(1, ceil(self.num_freqs / padded2))
+        self.radem_diag2 = jnp.asarray(
+            state_rng.radem_diagonals(seed2, nblocks2, padded2, sdtype))
+        self.chi_arr2 = jnp.asarray(
+            state_rng.chi_scaling(seed2, padded2, self.num_freqs, sdtype))
+
+    def _layer1(self, input_x, sequence_length):
+        if sequence_length is None:
+            raise ValueError(
+                "sequence_length is required for convolution kernels.")
+        if input_x.shape[2] != self._xdim[2]:
+            raise RuntimeError("Unexpected input shape supplied.")
+        return _maxpool_transform(input_x, sequence_length,
+                                  self.radem_diag1.astype(input_x.dtype),
+                                  self.chi_arr1.astype(input_x.dtype),
+                                  self.conv_width)
+
+    def kernel_specific_transform(self, input_x, sequence_length=None):
+        feats = self._layer1(input_x, sequence_length)
+        sigma = jnp.asarray(self.hyperparams[1], dtype=feats.dtype)
+        return rbf_feature_map(feats * sigma,
+                               self.radem_diag2.astype(feats.dtype),
+                               self.chi_arr2.astype(feats.dtype),
+                               self.fit_intercept)
+
+    def kernel_specific_gradient(self, input_x, sequence_length=None):
+        feats = self._layer1(input_x, sequence_length)
+        sigma = jnp.asarray(self.hyperparams[1], dtype=feats.dtype)
+        return rbf_feature_map_grad(feats,
+                                    self.radem_diag2.astype(feats.dtype),
+                                    self.chi_arr2.astype(feats.dtype),
+                                    sigma, self.fit_intercept)
+
+
+class FHTMaxpoolConv1dFeatureExtractor:
+    """Hyperparameter-free maxpool conv extractor used by FastConv1d."""
+
+    def __init__(self, seq_width, num_features, conv_width=9,
+                 random_seed=123, double_precision=False):
+        self.num_features = int(num_features)
+        self.conv_width = int(conv_width)
+        sdtype = np.float64 if double_precision else np.float32
+        padded = next_pow2(self.conv_width * seq_width)
+        nblocks = max(1, ceil(self.num_features / padded))
+        self.radem_diag = jnp.asarray(
+            state_rng.radem_diagonals(random_seed, nblocks, padded, sdtype))
+        self.chi_arr = jnp.asarray(
+            state_rng.chi_scaling(random_seed, padded, self.num_features,
+                                  sdtype))
+
+    def transform_x(self, input_x, sequence_length):
+        from .. import config
+        x = jnp.asarray(input_x, dtype=config.fp_dtype())
+        slen = jnp.asarray(sequence_length, dtype=jnp.int32)
+        return _maxpool_transform(x, slen,
+                                  self.radem_diag.astype(x.dtype),
+                                  self.chi_arr.astype(x.dtype),
+                                  self.conv_width)

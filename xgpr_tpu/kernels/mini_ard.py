@@ -1,0 +1,104 @@
+"""MiniARD kernel: one lengthscale per user-defined feature group.
+
+Parity: /root/reference/src/xGPR/kernels/ARD_kernels/mini_ard.py.
+- split_points define contiguous feature groups (:84-88);
+- hyperparams = (lambda, sigma_1..sigma_k), bounds [[1e-3,1e2]] +
+  [[1e-6,1e2]]*k (:89-92);
+- transform multiplies each input column by its group's lengthscale then
+  runs the plain RBF SORF map (:185-209);
+- gradient needs the dense precomputed SORF weight matrix (:208-258).
+"""
+from functools import partial
+from math import ceil
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .kernel_baseclass import KernelBaseclass
+from ..ops.hadamard import next_pow2
+from ..ops.sorf import rbf_feature_map
+from ..ops.ard import precompute_sorf_weights, mini_ard_grad
+from ..utils import rng as state_rng
+
+
+@partial(jax.jit, static_argnames=("fit_intercept",))
+def _ard_transform(x, ard_weights, radem, chi, fit_intercept):
+    return rbf_feature_map(x * ard_weights[None, :], radem, chi,
+                           fit_intercept)
+
+
+class MiniARD(KernelBaseclass):
+    """Grouped-lengthscale RBF kernel."""
+
+    def __init__(self, xdim, num_rffs, random_seed=123, device=None,
+                 double_precision=False, kernel_spec_parms=None):
+        super().__init__(xdim, num_rffs, sine_cosine_kernel=True,
+                         double_precision=double_precision,
+                         kernel_spec_parms=kernel_spec_parms)
+        parms = kernel_spec_parms or {}
+        if len(self._xdim) != 2:
+            raise ValueError("MiniARD only accepts fixed-vector input.")
+        if "split_points" not in parms or not isinstance(
+                parms["split_points"], list):
+            raise ValueError("MiniARD requires kernel_settings with a "
+                             "'split_points' list.")
+        self.split_pts = np.sort(np.asarray(
+            [0] + list(parms["split_points"]) + [xdim[1]]))
+        self._check_split_points(xdim)
+
+        n_hparams = self.split_pts.shape[0]
+        self.hyperparams = np.ones((n_hparams,))
+        self.bounds = np.asarray(
+            [[1e-3, 1e2]] + [[1e-6, 1e2]] * (n_hparams - 1))
+
+        padded = next_pow2(xdim[-1])
+        nblocks = max(1, ceil(self.num_freqs / padded))
+        self.padded_dims, self.nblocks = padded, nblocks
+        sdtype = np.float64 if double_precision else np.float32
+        self.radem_diag = jnp.asarray(
+            state_rng.radem_diagonals(random_seed, nblocks, padded, sdtype))
+        self.chi_arr = jnp.asarray(
+            state_rng.chi_scaling(random_seed, padded, self.num_freqs,
+                                  sdtype))
+
+        self.full_ard_weights = np.zeros((xdim[-1],))
+        self._group_slices = [
+            (int(self.split_pts[i - 1]), int(self.split_pts[i]))
+            for i in range(1, self.split_pts.shape[0])]
+        self.precomputed_weights = None
+        self.kernel_specific_set_hyperparams()
+
+    def _check_split_points(self, xdim):
+        if self.split_pts.shape[0] - 2 < 1:
+            raise ValueError("There must be at least one split point.")
+        if self.split_pts[0] < 0 or self.split_pts[-1] > xdim[1]:
+            raise ValueError("Split points out of range.")
+        if np.diff(self.split_pts).min() == 0:
+            raise ValueError("Duplicate split points supplied.")
+
+    def kernel_specific_set_hyperparams(self):
+        for g, (s, e) in enumerate(self._group_slices):
+            self.full_ard_weights[s:e] = self.hyperparams[g + 1]
+
+    def kernel_specific_transform(self, input_x, sequence_length=None):
+        w = jnp.asarray(self.full_ard_weights, dtype=input_x.dtype)
+        return _ard_transform(input_x, w,
+                              self.radem_diag.astype(input_x.dtype),
+                              self.chi_arr.astype(input_x.dtype),
+                              self.fit_intercept)
+
+    def _ensure_precomputed(self, dtype):
+        if self.precomputed_weights is None:
+            self.precomputed_weights = precompute_sorf_weights(
+                self.radem_diag.astype(dtype), self.chi_arr.astype(dtype),
+                self._xdim[-1])
+
+    def kernel_specific_gradient(self, input_x, sequence_length=None):
+        self._ensure_precomputed(input_x.dtype)
+        starts = tuple(s for s, _ in self._group_slices)
+        ends = tuple(e for _, e in self._group_slices)
+        sigma_vals = jnp.asarray(self.hyperparams[1:], dtype=input_x.dtype)
+        return mini_ard_grad(input_x,
+                             self.precomputed_weights.astype(input_x.dtype),
+                             starts, ends, sigma_vals, self.fit_intercept)

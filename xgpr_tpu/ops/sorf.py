@@ -1,0 +1,150 @@
+"""Structured orthogonal random feature (SORF) ops, batched for TPU.
+
+Semantics follow the reference's native ops:
+
+- SORF transform: three rounds of (Rademacher diagonal * 1/sqrt(P)) followed
+  by an unnormalised FWHT (shared_rfgen_ops.cpp:50-78, singleVectorSORF).
+- RBF post-process: interleaved features out[2i] = cos(h_i * chi_i) * s,
+  out[2i+1] = sin(h_i * chi_i) * s (shared_rfgen_ops.cpp:91-114), with
+  s = sqrt(1 / (F - 0.5)) when an intercept is fitted, sqrt(1/F) otherwise
+  (rbf_ops.cpp:63-67).
+- When num_freqs > P, the padded input is processed once per block against an
+  independent slice of the Rademacher diagonals (rbf_ops.cpp:76-99).
+
+Unlike the reference (one thread/CUDA-block per datapoint with a scalar
+butterfly), everything here is a single batched expression: pad -> broadcast
+over blocks -> 3x (diag mult + factored-matmul FWHT) -> chi scale -> cos/sin.
+XLA fuses the elementwise stages into the matmuls.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from .hadamard import fwht, next_pow2
+
+
+def sorf_blocks(x_padded: jnp.ndarray, radem: jnp.ndarray) -> jnp.ndarray:
+    """Apply the 3-round SORF transform to each block.
+
+    Args:
+        x_padded: (N, P) input rows, already zero-padded to P = 2^k.
+        radem: (3, B, P) float Rademacher diagonals (+-1) for B blocks.
+
+    Returns:
+        (N, B, P) transformed values, one independent projection per block.
+    """
+    p = x_padded.shape[-1]
+    norm = np.asarray(1.0 / np.sqrt(p), dtype=x_padded.dtype)
+    y = x_padded[:, None, :] * (radem[0] * norm)
+    y = fwht(y)
+    y = y * (radem[1] * norm)
+    y = fwht(y)
+    y = y * (radem[2] * norm)
+    y = fwht(y)
+    return y
+
+
+def pad_rows(x: jnp.ndarray, padded_dim: int) -> jnp.ndarray:
+    """Zero-pad the last axis of (N, d) rows out to padded_dim."""
+    d = x.shape[-1]
+    if d == padded_dim:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, padded_dim - d)]
+    return jnp.pad(x, pad)
+
+
+def sorf_project(x: jnp.ndarray, radem: jnp.ndarray,
+                 num_freqs: int) -> jnp.ndarray:
+    """SORF-project rows to num_freqs frequencies.
+
+    Args:
+        x: (N, d) rows (any d; padded internally to P = radem.shape[-1]).
+        radem: (3, B, P) float Rademacher diagonals.
+        num_freqs: number of frequencies to keep (<= B * P).
+
+    Returns:
+        (N, num_freqs) projected values (before chi scaling).
+    """
+    p = radem.shape[-1]
+    h = sorf_blocks(pad_rows(x, p), radem)
+    return h.reshape(x.shape[0], -1)[:, :num_freqs]
+
+
+def interleave_cos_sin(arg: jnp.ndarray, scale) -> jnp.ndarray:
+    """Interleaved [cos f0, sin f0, cos f1, sin f1, ...] * scale.
+
+    Matches the reference's output layout (shared_rfgen_ops.cpp:104-113),
+    which matters because variance uses the *first* variance_rffs columns.
+    """
+    n, f = arg.shape
+    feats = jnp.stack([jnp.cos(arg), jnp.sin(arg)], axis=-1)
+    return feats.reshape(n, 2 * f) * jnp.asarray(scale, dtype=arg.dtype)
+
+
+def rbf_norm_constant(num_freqs: int, fit_intercept: bool) -> float:
+    """Feature scaling: sqrt(1/(F - 0.5)) with intercept else sqrt(1/F)
+    (rbf_ops.cpp:63-67)."""
+    denom = num_freqs - 0.5 if fit_intercept else float(num_freqs)
+    return float(np.sqrt(1.0 / denom))
+
+
+def rbf_feature_map(x: jnp.ndarray, radem: jnp.ndarray, chi: jnp.ndarray,
+                    fit_intercept: bool) -> jnp.ndarray:
+    """Full RBF SORF feature map for pre-scaled input rows.
+
+    The caller is responsible for multiplying x by the lengthscale
+    hyperparameter first (sorf_kernel_baseclass.py:117 does input *= sigma).
+
+    Returns (N, 2 * num_freqs) features; column 0 is overwritten with 1 by the
+    kernel layer when an intercept is fitted (kernel_baseclass.py:295-297).
+    """
+    num_freqs = chi.shape[0]
+    h = sorf_project(x, radem, num_freqs)
+    arg = h * chi
+    scale = rbf_norm_constant(num_freqs, fit_intercept)
+    return interleave_cos_sin(arg, scale)
+
+
+def rbf_feature_map_grad(x: jnp.ndarray, radem: jnp.ndarray,
+                         chi: jnp.ndarray, sigma, fit_intercept: bool):
+    """RBF features and d(features)/d(sigma).
+
+    Matches singleVectorRBFPostGrad (shared_rfgen_ops.cpp:124-158): with
+    g_i = h_i * chi_i (projection of the *unscaled* input), features are
+    cos/sin(g_i * sigma) * s and the gradient entries are
+    (-sin * g, +cos * g) * s, interleaved.
+
+    Returns:
+        feats: (N, 2F) features.
+        dz_dsigma: (N, 2F, 1) derivative w.r.t. sigma.
+    """
+    num_freqs = chi.shape[0]
+    g = sorf_project(x, radem, num_freqs) * chi
+    arg = g * jnp.asarray(sigma, dtype=x.dtype)
+    scale = np.asarray(rbf_norm_constant(num_freqs, fit_intercept),
+                       dtype=x.dtype)
+    cosv = jnp.cos(arg) * scale
+    sinv = jnp.sin(arg) * scale
+    n = x.shape[0]
+    feats = jnp.stack([cosv, sinv], axis=-1).reshape(n, 2 * num_freqs)
+    grad = jnp.stack([-sinv * g, cosv * g], axis=-1).reshape(n, 2 * num_freqs)
+    return feats, grad[:, :, None]
+
+
+def srht_rows(x: jnp.ndarray, radem_vec: jnp.ndarray,
+              sample_idx: jnp.ndarray) -> jnp.ndarray:
+    """Subsampled randomised Hadamard transform of each row.
+
+    Matches cpuSRHT + the Python-side truncation
+    (basic_ops/transform_functions.cpp:94-129, srht_compressor.py:70-97):
+    y = FWHT(diag(radem) * x / sqrt(P)), then keep permuted columns.
+
+    Args:
+        x: (N, d) rows; padded to P = radem_vec.shape[0].
+        radem_vec: (P,) float +-1 diagonal.
+        sample_idx: (compression_size,) column indices to keep.
+    """
+    p = radem_vec.shape[0]
+    xp = pad_rows(x, p)
+    norm = np.asarray(1.0 / np.sqrt(p), dtype=x.dtype)
+    y = fwht(xp * (radem_vec * norm))
+    return jnp.take(y, sample_idx, axis=1)

@@ -1,0 +1,70 @@
+"""Deterministic host-side projection state.
+
+All random projection state (Rademacher diagonals, chi scaling arrays,
+column permutations) is generated on the host from a single integer seed with
+numpy's default_rng, exactly as the reference does
+(sorf_kernel_baseclass.py:74-84).  This guarantees every host in a multi-host
+mesh materialises identical state with no communication -- requirement (d) of
+SURVEY.md section 2.9.
+"""
+import numpy as np
+from scipy.stats import chi as chi_dist
+
+from ..ops.hadamard import next_pow2
+
+
+def radem_diagonals(seed: int, nblocks: int, padded_dim: int,
+                    dtype=np.float32) -> np.ndarray:
+    """(3, nblocks, padded_dim) Rademacher +-1 diagonals.
+
+    Drawn exactly like the reference (rng.choice([-1, 1], size=(3, 1,
+    nblocks*padded)), sorf_kernel_baseclass.py:76-81) then reshaped so each
+    block's diagonal slice is explicit.
+    """
+    rng = np.random.default_rng(seed)
+    flat = rng.choice(np.asarray([-1, 1], dtype=np.int8),
+                      size=(3, 1, nblocks * padded_dim), replace=True)
+    return flat.reshape(3, nblocks, padded_dim).astype(dtype)
+
+
+def chi_scaling(seed: int, padded_dim: int, num_freqs: int,
+                dtype=np.float32) -> np.ndarray:
+    """(num_freqs,) chi(df=padded_dim) draws (sorf_kernel_baseclass.py:82)."""
+    arr = chi_dist.rvs(df=padded_dim, size=num_freqs, random_state=seed)
+    return arr.astype(dtype)
+
+
+def matern_chi_modifier(seed: int, num_freqs: int, nu: float,
+                        dtype=np.float32) -> np.ndarray:
+    """Divisor turning RBF frequencies into Matern ones: sqrt(chi2(2nu)/2nu)
+    (matern.py:50-54)."""
+    rng = np.random.default_rng(seed)
+    return np.sqrt(rng.chisquare(2 * nu, size=num_freqs) / (2 * nu)
+                   ).astype(dtype)
+
+
+def cauchy_chi_modifier(seed: int, num_freqs: int,
+                        dtype=np.float32) -> np.ndarray:
+    """Multiplier for Cauchy kernel: sqrt(Exp(1)) draws (cauchy.py:39-41)."""
+    rng = np.random.default_rng(seed)
+    return np.sqrt(rng.exponential(size=num_freqs)).astype(dtype)
+
+
+def srht_state(seed: int, input_size: int, compression_size: int,
+               dtype=np.float32):
+    """Rademacher diagonal + truncated column permutation for SRHT
+    (srht_compressor.py:60-66)."""
+    padded = next_pow2(input_size)
+    rng = np.random.default_rng(seed)
+    radem = rng.choice(np.asarray([-1, 1], dtype=np.int8), size=(padded,),
+                       replace=True).astype(dtype)
+    perm = rng.permutation(padded)
+    return radem, perm[:compression_size].astype(np.int32)
+
+
+def normal_probes(seed: int, num_rffs: int, nsamples: int,
+                  dtype=np.float64) -> np.ndarray:
+    """(num_rffs, nsamples) standard-normal probe vectors
+    (probe_generators.py:9-31)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(size=(num_rffs, nsamples)).astype(dtype)
