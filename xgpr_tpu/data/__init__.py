@@ -1,0 +1,4 @@
+from .dataset import DatasetBaseclass, OnlineDataset, OfflineDataset
+from .builders import (build_regression_dataset,
+                       build_classification_dataset,
+                       build_offline_np_dataset)

@@ -1,0 +1,215 @@
+"""Validated dataset constructors.
+
+Parity with /root/reference/src/xGPR/data_handling/dataset_builder.py:
+NaN / dtype / shape-consistency checks, sequence-length validation
+(:337-373), streaming Welford-style mean/std over files (:408-437) and npy
+header peeking so file shapes are checked without loading (:440-449).
+"""
+import numpy as np
+
+from .dataset import OnlineDataset, OfflineDataset
+
+
+def build_regression_dataset(xdata, ydata, sequence_lengths=None,
+                             chunk_size=2000, normalize_y=True):
+    """Build an in-memory or file-backed regression dataset."""
+    if isinstance(xdata, list) and isinstance(ydata, list):
+        return build_offline_np_dataset(xdata, ydata, sequence_lengths,
+                                        chunk_size, normalize_y,
+                                        task_type="regression")
+    if isinstance(xdata, np.ndarray) and isinstance(ydata, np.ndarray):
+        return _build_online_dataset(xdata, ydata, sequence_lengths,
+                                     chunk_size, normalize_y,
+                                     task_type="regression")
+    raise RuntimeError("Unexpected argument types to "
+                       "build_regression_dataset.")
+
+
+def build_classification_dataset(xdata, ydata, sequence_lengths=None,
+                                 chunk_size=2000):
+    """Build an in-memory or file-backed classification dataset."""
+    if isinstance(xdata, list) and isinstance(ydata, list):
+        return build_offline_np_dataset(xdata, ydata, sequence_lengths,
+                                        chunk_size, normalize_y=False,
+                                        task_type="classification")
+    if isinstance(xdata, np.ndarray) and isinstance(ydata, np.ndarray):
+        return _build_online_dataset(xdata, ydata, sequence_lengths,
+                                     chunk_size, normalize_y=False,
+                                     task_type="classification")
+    raise RuntimeError("Unexpected argument types to "
+                       "build_classification_dataset.")
+
+
+def _check_basic_array(xdata, ydata):
+    if not isinstance(xdata, np.ndarray) or not isinstance(ydata, np.ndarray):
+        raise RuntimeError("X and y must be numpy arrays.")
+    if xdata.ndim not in (2, 3):
+        raise RuntimeError("X must be a 2d or 3d numpy array.")
+    if ydata.ndim != 1:
+        raise RuntimeError("Y must be a 1d numpy array.")
+    if xdata.shape[0] != ydata.shape[0]:
+        raise RuntimeError("X and y must have the same number of "
+                           "datapoints.")
+    if xdata.shape[0] == 0:
+        raise RuntimeError("Empty arrays supplied.")
+    if not np.all(np.isfinite(xdata)):
+        raise RuntimeError("One or more elements in X is inf or NaN.")
+    if np.issubdtype(ydata.dtype, np.floating) and \
+            not np.all(np.isfinite(ydata)):
+        raise RuntimeError("One or more elements in y is inf or NaN.")
+    if np.max(np.abs(xdata)) > 1e15:
+        raise RuntimeError("Values > 1e15 in the input are not allowed.")
+
+
+def _check_sequence_lengths(seqlength, xdata, ydata):
+    """Sequence-length contract (dataset_builder.py:337-373)."""
+    if seqlength is not None:
+        if xdata.ndim != 3:
+            raise RuntimeError("sequence_lengths must be None if using "
+                               "fixed vector input.")
+        if not isinstance(seqlength, np.ndarray) or seqlength.ndim != 1:
+            raise RuntimeError("sequence_lengths must be None or a 1d "
+                               "numpy array.")
+        if seqlength.shape[0] != ydata.shape[0]:
+            raise RuntimeError("sequence_lengths must have the same length "
+                               "as ydata.")
+        if not np.issubdtype(seqlength.dtype, np.integer):
+            raise RuntimeError("sequence_lengths must be all integers.")
+        if seqlength.min() <= 0 or seqlength.max() > xdata.shape[1]:
+            raise RuntimeError(
+                "sequence_length values must be in the range "
+                "(1, num_elements) for the corresponding input array.")
+    elif xdata.ndim == 3:
+        raise RuntimeError("sequence_lengths cannot be None if supplying "
+                           "sequences / time series / graphs as input.")
+
+
+def _check_classes(ydata):
+    if not np.issubdtype(ydata.dtype, np.integer):
+        raise RuntimeError("For classification, y values must be "
+                           "integers in [0, n_classes).")
+    max_class, min_class = int(ydata.max()), int(ydata.min())
+    if max_class == 0 or min_class != 0:
+        raise RuntimeError("For classification, y must contain class 0 and "
+                           "at least one other class.")
+    return max_class
+
+
+def _build_online_dataset(xdata, ydata, sequence_lengths=None,
+                          chunk_size=2000, normalize_y=True,
+                          task_type="regression"):
+    _check_basic_array(xdata, ydata)
+    _check_sequence_lengths(sequence_lengths, xdata, ydata)
+
+    if task_type == "classification":
+        max_class = _check_classes(ydata)
+        return OnlineDataset(xdata, ydata, sequence_lengths, chunk_size,
+                             0., 1., max_class)
+
+    if normalize_y:
+        trainy_mean = float(ydata.mean())
+        trainy_std = float(ydata.std())
+        if trainy_std == 0:
+            raise RuntimeError("The y-values supplied are all identical.")
+    else:
+        trainy_mean, trainy_std = 0., 1.
+    return OnlineDataset(xdata, ydata, sequence_lengths, chunk_size,
+                         trainy_mean, trainy_std, None)
+
+
+def npy_file_shape(npy_file):
+    """Shape of a .npy array without loading it
+    (dataset_builder.py:440-449)."""
+    with open(npy_file, "rb") as f_handle:
+        version = np.lib.format.read_magic(f_handle)
+        np.lib.format._check_version(version)
+        arr_shape, _, _ = np.lib.format._read_array_header(f_handle, version)
+    return arr_shape
+
+
+def _streaming_y_stats(yfiles):
+    """Chan et al. streaming mean/std over y files
+    (dataset_builder.py:408-437)."""
+    ndpoints = 0
+    mean, var = 0.0, 0.0
+    for yfile in yfiles:
+        y = np.load(yfile).astype(np.float64)
+        ny = y.shape[0]
+        w1 = ny / (ny + ndpoints)
+        w2 = ndpoints / (ndpoints + ny)
+        w3 = ny * ndpoints / (ny + ndpoints) ** 2
+        ymean = y.mean()
+        var = w1 * y.std() ** 2 + w2 * var + w3 * (ymean - mean) ** 2
+        mean = w1 * ymean + w2 * mean
+        ndpoints += ny
+    return mean, float(np.sqrt(var))
+
+
+def build_offline_np_dataset(xfiles, yfiles, sequence_lengths=None,
+                             chunk_size=2000, normalize_y=True,
+                             task_type="regression"):
+    """Validated constructor for file-backed datasets
+    (dataset_builder.py:192-333)."""
+    if not isinstance(xfiles, list) or not isinstance(yfiles, list):
+        raise RuntimeError("xfiles and yfiles must be lists of filepaths.")
+    if len(xfiles) != len(yfiles) or len(xfiles) == 0:
+        raise RuntimeError("xfiles and yfiles must be non-empty lists of "
+                           "the same length.")
+    if sequence_lengths is not None and len(sequence_lengths) != len(xfiles):
+        raise RuntimeError("sequence_lengths must match xfiles in length.")
+
+    xshape0 = npy_file_shape(xfiles[0])
+    ndim = len(xshape0)
+    if ndim not in (2, 3):
+        raise RuntimeError("x files must contain 2d or 3d arrays.")
+    if sequence_lengths is None and ndim == 3:
+        raise RuntimeError("sequence_lengths cannot be None for 3d input.")
+    if sequence_lengths is not None and ndim == 2:
+        raise RuntimeError("sequence_lengths must be None for 2d input.")
+
+    ndatapoints = 0
+    for i, (xf, yf) in enumerate(zip(xfiles, yfiles)):
+        xshape = npy_file_shape(xf)
+        yshape = npy_file_shape(yf)
+        if len(xshape) != ndim or xshape[1:] != xshape0[1:]:
+            raise RuntimeError(f"File {xf} has inconsistent shape.")
+        if len(yshape) != 1 or yshape[0] != xshape[0]:
+            raise RuntimeError(f"Files {xf}, {yf} have mismatched "
+                               "datapoint counts.")
+        if xshape[0] > chunk_size:
+            raise RuntimeError(
+                f"File {xf} has more datapoints than chunk_size; re-chunk "
+                "your files or increase chunk_size.")
+        if sequence_lengths is not None:
+            lshape = npy_file_shape(sequence_lengths[i])
+            if len(lshape) != 1 or lshape[0] != xshape[0]:
+                raise RuntimeError(
+                    f"Sequence-length file {sequence_lengths[i]} does not "
+                    "match its x file.")
+        ndatapoints += xshape[0]
+
+    xdim = (ndatapoints,) + tuple(xshape0[1:])
+
+    if task_type == "classification":
+        max_class, min_class = 0, 1
+        for yf in yfiles:
+            y = np.load(yf)
+            if not np.issubdtype(y.dtype, np.integer):
+                raise RuntimeError("Classification y files must contain "
+                                   "integer classes.")
+            max_class = max(max_class, int(y.max()))
+            min_class = min(min_class, int(y.min()))
+        if max_class == 0 or min_class != 0:
+            raise RuntimeError("Classification data must contain class 0 "
+                               "and at least one other class.")
+        return OfflineDataset(xfiles, yfiles, sequence_lengths, xdim,
+                              0., 1., max_class, chunk_size)
+
+    if normalize_y:
+        trainy_mean, trainy_std = _streaming_y_stats(yfiles)
+        if trainy_std == 0:
+            raise RuntimeError("The y-values supplied are all identical.")
+    else:
+        trainy_mean, trainy_std = 0., 1.
+    return OfflineDataset(xfiles, yfiles, sequence_lengths, xdim,
+                          trainy_mean, trainy_std, None, chunk_size)

@@ -1,0 +1,157 @@
+"""Dataset objects: in-memory and file-backed chunk streams.
+
+API parity with the reference's data_handling layer
+(/root/reference/src/xGPR/data_handling/): deterministic chunk iteration
+(so CG matvecs are exactly reproducible pass to pass), y normalised on the
+fly for regression, user-subclassable baseclass.
+
+TPU-first addition: ``padded_batches`` yields fixed-shape chunks (padded to
+chunk_size) plus a row mask, so every jitted consumer compiles exactly once
+per dataset.  Padded rows carry sequence_length = L (full length) so conv
+scaling stays finite; their features are zeroed via the mask before any
+reduction.
+"""
+import abc
+from abc import ABC
+
+import numpy as np
+
+
+class DatasetBaseclass(ABC):
+    """Common API for chunked datasets."""
+
+    def __init__(self, xdim, chunk_size, trainy_mean=0., trainy_std=1.,
+                 max_class=None):
+        self._xdim = tuple(xdim)
+        self._chunk_size = int(chunk_size)
+        self._trainy_mean = float(trainy_mean)
+        self._trainy_std = float(trainy_std)
+        self._max_class = max_class
+
+    @abc.abstractmethod
+    def get_chunked_data(self):
+        """Yield (xchunk, ychunk, seq_lengths-or-None) numpy chunks."""
+
+    @abc.abstractmethod
+    def get_chunked_x_data(self):
+        """Yield (xchunk, seq_lengths-or-None) numpy chunks."""
+
+    # ------------------------------------------------------------------
+    def get_ymean(self):
+        return self._trainy_mean
+
+    def get_ystd(self):
+        return self._trainy_std
+
+    def get_n_classes(self):
+        if self._max_class is None:
+            return None
+        return self._max_class + 1
+
+    def get_xdim(self):
+        return self._xdim
+
+    def get_ndatapoints(self):
+        return self._xdim[0]
+
+    def get_chunk_size(self):
+        return self._chunk_size
+
+    def _normalize_y(self, ychunk):
+        if self._max_class is not None:
+            return ychunk
+        y = ychunk.astype(np.float64)
+        return (y - self._trainy_mean) / self._trainy_std
+
+    # ------------------------------------------------------------------
+    # fixed-shape batches for jit-compiled consumers
+    def padded_batches(self, with_y=True):
+        """Yield fixed-shape (x, y|None, seq_len|None, mask) numpy batches.
+
+        Every batch has exactly chunk_size rows; trailing rows of the final
+        batch are zero-filled and flagged by mask == 0.
+        """
+        cs = self._chunk_size
+        src = self.get_chunked_data() if with_y else (
+            (x, None, l) for x, l in self.get_chunked_x_data())
+        for xchunk, ychunk, lchunk in src:
+            n = xchunk.shape[0]
+            if n == cs:
+                mask = np.ones((cs,), dtype=np.float64)
+                yield xchunk, ychunk, lchunk, mask
+                continue
+            pad = cs - n
+            xp = np.zeros((cs,) + xchunk.shape[1:], dtype=xchunk.dtype)
+            xp[:n] = xchunk
+            mask = np.zeros((cs,), dtype=np.float64)
+            mask[:n] = 1.0
+            yp = None
+            if ychunk is not None:
+                yp = np.zeros((cs,), dtype=ychunk.dtype)
+                yp[:n] = ychunk
+            lp = None
+            if lchunk is not None:
+                lp = np.full((cs,), self._xdim[1], dtype=np.int32)
+                lp[:n] = lchunk
+            yield xp, yp, lp, mask
+
+
+class OnlineDataset(DatasetBaseclass):
+    """In-memory arrays served in chunk_size slices
+    (online_data_handling.py:54-94)."""
+
+    def __init__(self, xdata, ydata, sequence_lengths=None, chunk_size=2000,
+                 trainy_mean=0., trainy_std=1., max_class=None):
+        super().__init__(xdata.shape, chunk_size, trainy_mean, trainy_std,
+                         max_class)
+        self._xdata = xdata
+        self._ydata = ydata
+        self._sequence_lengths = sequence_lengths
+
+    def get_chunked_data(self):
+        for i in range(0, self._xdim[0], self._chunk_size):
+            cut = min(i + self._chunk_size, self._xdim[0])
+            lchunk = None if self._sequence_lengths is None else \
+                self._sequence_lengths[i:cut]
+            yield (self._xdata[i:cut, ...],
+                   self._normalize_y(self._ydata[i:cut]), lchunk)
+
+    def get_chunked_x_data(self):
+        for i in range(0, self._xdim[0], self._chunk_size):
+            cut = min(i + self._chunk_size, self._xdim[0])
+            lchunk = None if self._sequence_lengths is None else \
+                self._sequence_lengths[i:cut]
+            yield self._xdata[i:cut, ...], lchunk
+
+
+class OfflineDataset(DatasetBaseclass):
+    """Out-of-core dataset: lists of .npy file paths, one load per chunk
+    (offline_data_handling.py:73-108)."""
+
+    def __init__(self, xfiles, yfiles, sequence_lengths, xdim,
+                 trainy_mean=0., trainy_std=1., max_class=None,
+                 chunk_size=2000):
+        import os
+        super().__init__(xdim, chunk_size, trainy_mean, trainy_std,
+                         max_class)
+        self._xfiles = [os.path.abspath(f) for f in xfiles]
+        self._yfiles = [os.path.abspath(f) for f in yfiles]
+        if sequence_lengths is not None:
+            self._sequence_lengths = [os.path.abspath(f)
+                                      for f in sequence_lengths]
+        else:
+            self._sequence_lengths = None
+
+    def get_chunked_data(self):
+        lfiles = self._sequence_lengths or [None] * len(self._xfiles)
+        for xfile, yfile, lfile in zip(self._xfiles, self._yfiles, lfiles):
+            xchunk = np.load(xfile)
+            ychunk = self._normalize_y(np.load(yfile))
+            lchunk = np.load(lfile) if lfile is not None else None
+            yield xchunk, ychunk, lchunk
+
+    def get_chunked_x_data(self):
+        lfiles = self._sequence_lengths or [None] * len(self._xfiles)
+        for xfile, lfile in zip(self._xfiles, lfiles):
+            lchunk = np.load(lfile) if lfile is not None else None
+            yield np.load(xfile), lchunk

@@ -1,0 +1,119 @@
+"""Batched-RHS preconditioned conjugate gradients.
+
+Algorithmic parity with the reference's CPU/GPU_ConjugateGrad
+(fitting_toolkit/cg_tools.py:26-302): matvec is the streamed
+(Z^T Z + lambda^2) v chunk reduction, per-RHS alpha/beta, convergence when
+the max relative residual norm < tol, and nmll mode captures the per-
+iteration (alpha, beta) pairs for stochastic Lanczos quadrature with the
+first (fit) column dropped.
+
+The matvec runs through the Engine (jitted scan in stacked mode); the
+outer iteration is a light Python loop -- a handful of O(M*K) vector ops
+per iteration, negligible next to the matvec.
+"""
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class ConjugateGrad:
+    """PCG over the implicit normal equations (Z^T Z + lambda^2) x = b."""
+
+    def __init__(self, engine):
+        self.engine = engine
+
+    def matvec(self, vec, lambda_):
+        prod = self.engine.ztzv(vec)
+        return prod + (lambda_ ** 2) * vec
+
+    def fit(self, rhs, lambda_, preconditioner=None, maxiter=200, tol=1e-4,
+            verbose=True, nmll_settings=False):
+        """Solve (Z^T Z + lambda^2) x = rhs for each RHS column.
+
+        Args:
+            rhs: (M, K) right-hand sides (K simultaneous systems).
+            lambda_: shared noise hyperparameter.
+            preconditioner: object with batch_matvec, or None.
+            maxiter, tol: iteration limits as in the reference.
+            nmll_settings: if True, return (x, alphas, betas) with the fit
+                column's coefficients dropped (cg_tools.py:143-150).
+
+        Returns:
+            (x, converged, niter, losses) or (x, alphas, betas).
+        """
+        resid = jnp.asarray(rhs)
+        init_norms = jnp.linalg.norm(resid, axis=0)
+        x_k = jnp.zeros_like(resid)
+
+        if preconditioner is None:
+            z_k = resid
+        else:
+            z_k = preconditioner.batch_matvec(resid)
+        p_k = z_k
+
+        alphas, betas, losses = [], [], []
+        converged = False
+        niter = 0
+        rz = jnp.sum(resid * z_k, axis=0)
+
+        for niter in range(1, maxiter + 1):
+            w = self.matvec(p_k, lambda_)
+            alpha = rz / jnp.sum(p_k * w, axis=0)
+            x_k = x_k + alpha[None, :] * p_k
+            resid_next = resid - alpha[None, :] * w
+            err = jnp.linalg.norm(resid_next, axis=0) / init_norms
+
+            if preconditioner is None:
+                z_next = resid_next
+            else:
+                z_next = preconditioner.batch_matvec(resid_next)
+            rz_next = jnp.sum(resid_next * z_next, axis=0)
+            beta = rz_next / rz
+            p_k = z_next + beta[None, :] * p_k
+            resid, z_k, rz = resid_next, z_next, rz_next
+
+            if nmll_settings:
+                alphas.append(np.asarray(alpha))
+                betas.append(np.asarray(beta))
+            else:
+                losses.append(float(err[0]))
+
+            if verbose and niter % 5 == 0:
+                print(f"{niter} iterations complete.")
+            if float(err.max()) < tol:
+                converged = True
+                break
+
+        if nmll_settings:
+            alphas = np.stack(alphas)
+            betas = np.stack(betas)
+            # Drop column 0 (the fit RHS); SLQ uses the probe columns only.
+            return x_k, alphas[:, 1:], betas[:, 1:]
+        return x_k, converged, niter, losses
+
+
+def cg_fit(engine, preconditioner=None, tol=1e-6, max_iter=500,
+           verbose=True):
+    """Fit driver (cg_fitting_toolkit.py:18-70): rhs = Z^T y / N, run PCG,
+    rescale weights by N, warn on non-convergence."""
+    kernel = engine.kernel
+    lambda_ = kernel.get_lambda()
+    ndatapoints = engine.ndatapoints
+
+    if preconditioner is None:
+        z_trans_y, _ = engine.zty()
+    else:
+        z_trans_y = preconditioner.get_zty()
+
+    rhs = (z_trans_y / ndatapoints)[:, None]
+    cg = ConjugateGrad(engine)
+    x_k, converged, n_iter, losses = cg.fit(rhs, lambda_, preconditioner,
+                                            max_iter, tol, verbose)
+    weights = x_k[:, 0] * ndatapoints
+    if not converged:
+        warnings.warn("Conjugate gradients failed to converge! Try "
+                      "refitting the model with updated settings.")
+    if verbose:
+        print(f"CG iterations: {n_iter}")
+    return weights, n_iter, losses

@@ -1,0 +1,303 @@
+"""Streamed / stacked dataset reductions.
+
+Every heavy operation in the system is a reduction over dataset chunks:
+Z^T Z v (CG matvec), Z^T Z / Z^T y (exact fitting and NMLL), SRHT sketches
+(Nystrom preconditioner) -- see SURVEY.md section 2.9.  The reference
+implements these as Python loops of numpy/cupy matmuls (cg_tools.py:26-53,
+exact_nmll_calcs.py:42-78, rand_nys_constructors.py:96-123).
+
+Here each reduction is a jitted ``lax.scan`` over fixed-shape padded batches
+("stacked" mode -- dataset resident on device, the TPU fast path) or a
+Python loop feeding one jitted batch kernel ("streaming" mode -- out-of-core
+datasets).  Padded rows are zeroed via a row mask after featurisation, so
+chunk padding never perturbs a reduction.  All matmuls pin HIGHEST precision
+(TPU default would silently round to bf16).
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import config
+
+_PREC = jax.lax.Precision.HIGHEST
+
+# Stacked mode is used when the raw data fits comfortably on device.
+_STACKED_ELEMENT_LIMIT = 2 * 10**8
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_PREC)
+
+
+class Engine:
+    """Bundles (kernel, dataset) and exposes jit-compiled reductions."""
+
+    def __init__(self, kernel, dataset, mode=None):
+        self.kernel = kernel
+        self.dataset = dataset
+        self.fn = kernel.pure_feature_fn()
+        self.num_rffs = kernel.get_num_rffs()
+        self.ndatapoints = dataset.get_ndatapoints()
+        self._dtype = config.fp_dtype()
+        self._jit_cache = {}
+
+        if mode is None:
+            n_elements = int(np.prod(dataset.get_xdim()))
+            from ..data.dataset import OnlineDataset
+            mode = "stacked" if (isinstance(dataset, OnlineDataset)
+                                 and n_elements < _STACKED_ELEMENT_LIMIT) \
+                else "streaming"
+        self.mode = mode
+        self._stacked = None
+        if mode == "stacked":
+            self._build_stack()
+
+    # ------------------------------------------------------------------
+    def _build_stack(self):
+        xs, ys, ls, ms = [], [], [], []
+        has_l = False
+        for xb, yb, lb, mb in self.dataset.padded_batches(with_y=True):
+            xs.append(np.asarray(xb))
+            ys.append(np.asarray(yb, dtype=np.float64))
+            ms.append(mb)
+            if lb is not None:
+                has_l = True
+                ls.append(lb)
+        dt = self._dtype
+        self._stacked = {
+            "x": jnp.asarray(np.stack(xs), dtype=dt),
+            "y": jnp.asarray(np.stack(ys), dtype=dt),
+            "l": jnp.asarray(np.stack(ls), dtype=jnp.int32) if has_l
+                 else None,
+            "m": jnp.asarray(np.stack(ms), dtype=dt),
+        }
+
+    def _params(self):
+        return self.kernel.feature_params()
+
+    def _batches(self, with_y=True):
+        """Yield (x, y, l, mask) jnp batches in the working dtype."""
+        dt = self._dtype
+        if self.mode == "stacked":
+            s = self._stacked
+            nb = s["x"].shape[0]
+            for i in range(nb):
+                lb = None if s["l"] is None else s["l"][i]
+                yield s["x"][i], s["y"][i], lb, s["m"][i]
+        else:
+            for xb, yb, lb, mb in self.dataset.padded_batches(with_y=with_y):
+                yield (jnp.asarray(xb, dtype=dt),
+                       None if yb is None else jnp.asarray(yb, dtype=dt),
+                       None if lb is None else jnp.asarray(lb, jnp.int32),
+                       jnp.asarray(mb, dtype=dt))
+
+    # ------------------------------------------------------------------
+    # jitted batch kernels (cached per reduction name)
+    def _get_jit(self, name, builder):
+        fn = self._jit_cache.get(name)
+        if fn is None:
+            fn = builder()
+            self._jit_cache[name] = fn
+        return fn
+
+    def _features(self, params, xb, lb, mb):
+        z = self.fn(params, xb, lb)
+        return z * mb[:, None]
+
+    # ------------------------------------------------------------------
+    # public reductions
+    def ztzv(self, vec):
+        """Sum_batches Z^T (Z v); vec is (M,) or (M, K)."""
+        feat = self._features
+
+        if self.mode == "stacked":
+            def build():
+                @jax.jit
+                def run(params, x, l, m, v):
+                    def body(acc, batch):
+                        if l is None:
+                            xb, mb = batch
+                            lb = None
+                        else:
+                            xb, lb, mb = batch
+                        z = feat(params, xb, lb, mb)
+                        return acc + _mm(z.T, _mm(z, v)), None
+                    init = jnp.zeros((self.num_rffs, v.shape[-1]),
+                                     dtype=v.dtype)
+                    xs = (x, m) if l is None else (x, l, m)
+                    acc, _ = jax.lax.scan(body, init, xs)
+                    return acc
+                return run
+            run = self._get_jit("ztzv_stacked", build)
+            s = self._stacked
+            v2 = jnp.asarray(vec, self._dtype).reshape(self.num_rffs, -1)
+            out = run(self._params(), s["x"], s["l"], s["m"], v2)
+            return out.reshape(vec.shape)
+
+        def build():
+            @jax.jit
+            def run(params, xb, lb, mb, v):
+                z = feat(params, xb, lb, mb)
+                return _mm(z.T, _mm(z, v))
+            return run
+        run = self._get_jit("ztzv_stream", build)
+        v2 = jnp.asarray(vec, self._dtype).reshape(self.num_rffs, -1)
+        acc = jnp.zeros_like(v2)
+        params = self._params()
+        for xb, _, lb, mb in self._batches(with_y=False):
+            acc = acc + run(params, xb, lb, mb, v2)
+        return acc.reshape(vec.shape)
+
+    def design_mat(self):
+        """(Z^T Z, Z^T y, y^T y) in one pass (exact_nmll_calcs.py:42-78)."""
+        feat = self._features
+
+        def build():
+            @jax.jit
+            def run(params, xb, lb, mb, yb):
+                z = feat(params, xb, lb, mb)
+                ym = yb * mb
+                return _mm(z.T, z), _mm(z.T, ym[:, None])[:, 0], ym @ ym
+            return run
+        run = self._get_jit("design_mat", build)
+        m = self.num_rffs
+        ztz = jnp.zeros((m, m), dtype=self._dtype)
+        zty = jnp.zeros((m,), dtype=self._dtype)
+        yty = jnp.zeros((), dtype=self._dtype)
+        params = self._params()
+        for xb, yb, lb, mb in self._batches():
+            a, b, c = run(params, xb, lb, mb, yb)
+            ztz, zty, yty = ztz + a, zty + b, yty + c
+        return ztz, zty, float(yty)
+
+    def zty(self):
+        """(Z^T y, y^T y) (exact_nmll_calcs.py:13-39)."""
+        feat = self._features
+
+        def build():
+            @jax.jit
+            def run(params, xb, lb, mb, yb):
+                z = feat(params, xb, lb, mb)
+                ym = yb * mb
+                return _mm(z.T, ym[:, None])[:, 0], ym @ ym
+            return run
+        run = self._get_jit("zty", build)
+        zty = jnp.zeros((self.num_rffs,), dtype=self._dtype)
+        yty = jnp.zeros((), dtype=self._dtype)
+        params = self._params()
+        for xb, yb, lb, mb in self._batches():
+            b, c = run(params, xb, lb, mb, yb)
+            zty, yty = zty + b, yty + c
+        return zty, float(yty)
+
+    def var_design_mat(self, variance_rffs):
+        """Z_v^T Z_v over the first variance_rffs feature columns."""
+        feat = self._features
+
+        def build():
+            @partial(jax.jit, static_argnames=("vr",))
+            def run(params, xb, lb, mb, vr):
+                z = feat(params, xb, lb, mb)[:, :vr]
+                return _mm(z.T, z)
+            return run
+        run = self._get_jit("var_design_mat", build)
+        acc = jnp.zeros((variance_rffs, variance_rffs), dtype=self._dtype)
+        params = self._params()
+        for xb, _, lb, mb in self._batches(with_y=False):
+            acc = acc + run(params, xb, lb, mb, variance_rffs)
+        return acc
+
+    def sketch(self, srht_radem, sample_idx, with_zty=True,
+               row_keep_prob=None, seed=123):
+        """SRHT sketch pass: acc += SRHT(Z)^T Z, optionally also Z^T y, y^T y
+        (rand_nys_constructors.py:96-123) or with row subsampling
+        (:60-93)."""
+        from ..ops.sorf import srht_rows
+        feat = self._features
+
+        def build():
+            @jax.jit
+            def run(params, xb, lb, mb, yb, radem, idx):
+                z = feat(params, xb, lb, mb)
+                sz = srht_rows(z, radem, idx)
+                acc = _mm(sz.T, z)
+                if yb is None:
+                    return acc
+                ym = yb * mb
+                return acc, _mm(z.T, ym[:, None])[:, 0], ym @ ym
+            return run
+        name = "sketch_y" if with_zty else "sketch"
+        run = self._get_jit(name, build)
+
+        rank = sample_idx.shape[0]
+        m = self.num_rffs
+        acc = jnp.zeros((rank, m), dtype=self._dtype)
+        zty = jnp.zeros((m,), dtype=self._dtype) if with_zty else None
+        yty = jnp.zeros((), dtype=self._dtype) if with_zty else None
+        params = self._params()
+        radem = jnp.asarray(srht_radem, self._dtype)
+        idx = jnp.asarray(sample_idx)
+        if row_keep_prob is not None and row_keep_prob >= 1.0:
+            row_keep_prob = None
+        rng = np.random.default_rng(seed)
+        for xb, yb, lb, mb in self._batches(with_y=with_zty):
+            if row_keep_prob is not None:
+                # Subsample rows by masking (keeps shapes static).
+                keep = rng.random(mb.shape[0]) < row_keep_prob
+                if not keep.any():
+                    keep[rng.integers(0, mb.shape[0])] = True
+                mb = mb * jnp.asarray(keep, dtype=mb.dtype)
+            if with_zty:
+                a, b, c = run(params, xb, lb, mb, yb, radem, idx)
+                acc, zty, yty = acc + a, zty + b, yty + c
+            else:
+                acc = acc + run(params, xb, lb, mb, None, radem, idx)
+        if with_zty:
+            return acc, zty, float(yty)
+        return acc
+
+    def gauss_pass(self, q_mat):
+        """Z^T Z Q for a dense (M, rank) Q (rand_nys_constructors.py:18-36).
+        Same reduction as ztzv with a matrix RHS."""
+        return self.ztzv(q_mat)
+
+    def gradient_terms(self, subsample=1.0, seed=123):
+        """Terms for the exact NMLL gradient (nmll_gradient_tools.py:12-90).
+
+        Returns z_trans_z, z_trans_y, y_trans_y, dz_dsigma_ty, inner_deriv,
+        ndatapoints.
+        """
+        m = self.num_rffs
+        hparams = self.kernel.get_hyperparams()
+        nsig = hparams.shape[0] - 1
+        dt = self._dtype
+        ztz = jnp.zeros((m, m), dtype=dt)
+        zty = jnp.zeros((m,), dtype=dt)
+        yty = 0.0
+        dz_ty = jnp.zeros((m, nsig), dtype=dt)
+        inner = jnp.zeros((m, m, nsig), dtype=dt)
+        nsamples = 0
+        rng = np.random.default_rng(123)
+
+        for xb_np, yb_np, lb_np in self.dataset.get_chunked_data():
+            if subsample < 1.0:
+                idx_size = max(1, int(subsample * xb_np.shape[0]))
+                idx = rng.choice(xb_np.shape[0], idx_size, replace=False)
+                xb_np = xb_np[idx, ...]
+                yb_np = yb_np[idx]
+                if lb_np is not None:
+                    lb_np = lb_np[idx]
+            z, dz, y = self.kernel.gradient_x_y(xb_np, yb_np, lb_np)
+            y = y.astype(dt)
+            zty = zty + _mm(z.T, y[:, None])[:, 0]
+            ztz = ztz + _mm(z.T, z)
+            yty += float(y @ y)
+            nsamples += z.shape[0]
+            for i in range(nsig):
+                dz_ty = dz_ty.at[:, i].add(_mm(dz[:, :, i].T,
+                                               y[:, None])[:, 0])
+                inner = inner.at[:, :, i].add(_mm(dz[:, :, i].T, z))
+        inner = inner + jnp.transpose(inner, (1, 0, 2))
+        return ztz, zty, yty, dz_ty, inner, nsamples

@@ -51,6 +51,27 @@ class SORFKernelBaseclass(KernelBaseclass):
                               self.chi_arr.astype(input_x.dtype), sigma,
                               self.fit_intercept)
 
+    def feature_params(self):
+        from .. import config
+        dt = jnp.float64 if self.double_precision else config.fp_dtype()
+        return {"radem": self.radem_diag.astype(dt),
+                "chi": self.chi_arr.astype(dt),
+                "sigma": jnp.asarray(self.hyperparams[1], dtype=dt)}
+
+    def pure_feature_fn(self):
+        fn = getattr(self, "_pure_fn", None)
+        if fn is None:
+            intercept = self.fit_intercept
+
+            def fn(params, x, seq_len=None):
+                feats = rbf_feature_map(x * params["sigma"], params["radem"],
+                                        params["chi"], intercept)
+                if intercept:
+                    feats = feats.at[:, 0].set(1.0)
+                return feats
+            self._pure_fn = fn
+        return fn
+
     def kernel_specific_gradient(self, input_x, sequence_length=None):
         sigma = jnp.asarray(self.hyperparams[1], dtype=input_x.dtype)
         return _rbf_grad(input_x, self.radem_diag.astype(input_x.dtype),
@@ -142,6 +163,22 @@ class Linear(KernelBaseclass):
             pad = jnp.zeros((input_x.shape[0], 1), dtype=input_x.dtype)
             return jnp.concatenate([pad, input_x], axis=1)
         return input_x
+
+    def feature_params(self):
+        return {}
+
+    def pure_feature_fn(self):
+        fn = getattr(self, "_pure_fn", None)
+        if fn is None:
+            intercept = self.fit_intercept
+
+            def fn(params, x, seq_len=None):
+                if intercept:
+                    ones = jnp.ones((x.shape[0], 1), dtype=x.dtype)
+                    return jnp.concatenate([ones, x], axis=1)
+                return x
+            self._pure_fn = fn
+        return fn
 
     def kernel_specific_gradient(self, input_x, sequence_length=None):
         xtrans = self.kernel_specific_transform(input_x)

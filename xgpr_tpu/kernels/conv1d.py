@@ -90,6 +90,30 @@ class ConvKernelBaseclass(KernelBaseclass):
                                self.chi_arr.astype(input_x.dtype), sigma,
                                self.conv_width, self.scaling_type, True)
 
+    def feature_params(self):
+        from .. import config
+        dt = jnp.float64 if self.double_precision else config.fp_dtype()
+        return {"radem": self.radem_diag.astype(dt),
+                "chi": self.chi_arr.astype(dt),
+                "sigma": jnp.asarray(self.hyperparams[1], dtype=dt)}
+
+    def pure_feature_fn(self):
+        fn = getattr(self, "_pure_fn", None)
+        if fn is None:
+            intercept = self.fit_intercept
+            width = self.conv_width
+            scaling = self.scaling_type
+
+            def fn(params, x, seq_len):
+                feats = conv_rbf_features(x, seq_len, params["radem"],
+                                          params["chi"], params["sigma"],
+                                          width, scaling)
+                if intercept:
+                    feats = feats.at[:, 0].set(1.0)
+                return feats
+            self._pure_fn = fn
+        return fn
+
 
 def _require_conv_width(parms):
     if "conv_width" not in parms:

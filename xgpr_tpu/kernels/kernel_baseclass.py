@@ -123,6 +123,30 @@ class KernelBaseclass(ABC):
         return True
 
     # ------------------------------------------------------------------
+    # functional API: a pure feature function + parameter pytree.
+    # This is the TPU-first entry point -- solvers jit / scan / shard_map
+    # over it directly, with hyperparameters passed as traced arrays so
+    # tuning never triggers recompilation.
+    def feature_params(self):
+        """Return the pytree of arrays the pure feature fn consumes."""
+        raise NotImplementedError
+
+    def pure_feature_fn(self):
+        """Return fn(params, x, seq_len_or_None) -> (N, num_rffs) features.
+
+        The returned fn is pure and jittable; it must already apply the
+        intercept-column overwrite.  The fn identity is stable per kernel
+        instance so jit caches are reused.
+        """
+        raise NotImplementedError
+
+    def _finalize(self, feats):
+        """Apply the intercept column inside pure feature fns."""
+        if self.fit_intercept:
+            feats = feats.at[:, 0].set(1.0)
+        return feats
+
+    # ------------------------------------------------------------------
     # transforms
     def _cast_input(self, input_x):
         dtype = config.fp_dtype() if not self.double_precision \

@@ -99,6 +99,33 @@ class Conv1dTwoLayer(KernelBaseclass):
                                     self.chi_arr2.astype(feats.dtype),
                                     sigma, self.fit_intercept)
 
+    def feature_params(self):
+        from .. import config
+        dt = jnp.float64 if self.double_precision else config.fp_dtype()
+        return {"radem1": self.radem_diag1.astype(dt),
+                "chi1": self.chi_arr1.astype(dt),
+                "radem2": self.radem_diag2.astype(dt),
+                "chi2": self.chi_arr2.astype(dt),
+                "sigma": jnp.asarray(self.hyperparams[1], dtype=dt)}
+
+    def pure_feature_fn(self):
+        fn = getattr(self, "_pure_fn", None)
+        if fn is None:
+            intercept = self.fit_intercept
+            width = self.conv_width
+
+            def fn(params, x, seq_len):
+                prof = conv_maxpool_features(x, seq_len, params["radem1"],
+                                             params["chi1"], width)
+                feats = rbf_feature_map(prof * params["sigma"],
+                                        params["radem2"], params["chi2"],
+                                        intercept)
+                if intercept:
+                    feats = feats.at[:, 0].set(1.0)
+                return feats
+            self._pure_fn = fn
+        return fn
+
 
 class FHTMaxpoolConv1dFeatureExtractor:
     """Hyperparameter-free maxpool conv extractor used by FastConv1d."""

@@ -88,6 +88,28 @@ class MiniARD(KernelBaseclass):
                               self.chi_arr.astype(input_x.dtype),
                               self.fit_intercept)
 
+    def feature_params(self):
+        from .. import config
+        dt = jnp.float64 if self.double_precision else config.fp_dtype()
+        return {"radem": self.radem_diag.astype(dt),
+                "chi": self.chi_arr.astype(dt),
+                "ard_weights": jnp.asarray(self.full_ard_weights, dtype=dt)}
+
+    def pure_feature_fn(self):
+        fn = getattr(self, "_pure_fn", None)
+        if fn is None:
+            intercept = self.fit_intercept
+
+            def fn(params, x, seq_len=None):
+                feats = rbf_feature_map(x * params["ard_weights"][None, :],
+                                        params["radem"], params["chi"],
+                                        intercept)
+                if intercept:
+                    feats = feats.at[:, 0].set(1.0)
+                return feats
+            self._pure_fn = fn
+        return fn
+
     def _ensure_precomputed(self, dtype):
         if self.precomputed_weights is None:
             self.precomputed_weights = precompute_sorf_weights(

@@ -1,0 +1,287 @@
+"""Shared model state machine.
+
+Parity: /root/reference/src/xGPR/model_baseclass.py -- kernel initialisation
+through the registry, preconditioner build + rank autoselection
+(:376-476), property setters that invalidate weights (:523-601).
+"""
+import copy
+
+import numpy as np
+
+from ..kernels import KERNEL_NAME_TO_CLASS
+from .. import constants
+from ..fitting.engine import Engine
+from ..preconditioners.nystrom import NystromPreconditioner, srht_ratio_check
+
+
+class ModelBaseclass:
+    """Base class for the regression / classification models."""
+
+    def __init__(self, num_rffs=256, variance_rffs=16, kernel_choice="RBF",
+                 device=None, kernel_settings=None, verbose=True,
+                 random_seed=123):
+        if kernel_settings is None:
+            kernel_settings = dict(constants.DEFAULT_KERNEL_SPEC_PARMS)
+        if not isinstance(kernel_settings, dict):
+            raise RuntimeError("kernel_settings must be a dict.")
+        self._kernel_choice = None
+        self.kernel = None
+        self.weights = None
+        self.var = None
+        self.trainy_mean = 0.0
+        self.trainy_std = 1.0
+        self.kernel_choice = kernel_choice
+        self._num_rffs = num_rffs
+        self._variance_rffs = 0
+        self.variance_rffs = variance_rffs
+        self.kernel_spec_parms = kernel_settings
+        self.verbose = verbose
+        self.is_regression = True
+        self.double_precision_fht = False
+        self.exact_var_calculation = True
+        self._random_seed = random_seed
+        self.n_classes = 1
+        self.gamma = None
+        self._engines = {}
+
+    # ------------------------------------------------------------------
+    def _engine(self, dataset):
+        """Cached Engine per (dataset, kernel) pair; hyperparameters flow
+        through feature_params at reduction time so reuse is safe."""
+        key = (id(dataset), id(self.kernel))
+        engine = self._engines.get(key)
+        if engine is None:
+            engine = Engine(self.kernel, dataset)
+            self._engines = {key: engine}  # keep at most one
+        return engine
+
+    # ------------------------------------------------------------------
+    def pre_prediction_checks(self, input_x, sequence_lengths, get_var):
+        if self.kernel is None or self.weights is None:
+            raise RuntimeError("Model has not yet been successfully fitted.")
+        if not self.kernel.validate_new_datapoints(input_x):
+            raise RuntimeError("The input has incorrect dimensionality.")
+        if sequence_lengths is None:
+            if input_x.ndim != 2:
+                raise RuntimeError("sequence_lengths is required if using a "
+                                   "convolution kernel.")
+        elif input_x.ndim == 2:
+            raise RuntimeError("sequence_lengths must be None if using a "
+                               "fixed vector kernel.")
+        if self.weights.shape[0] != self.kernel.get_num_rffs():
+            raise RuntimeError("The size of the weight vector does not "
+                               "match the number of random features.")
+        if self.var is None and get_var:
+            raise RuntimeError("Variance was requested but suppress_var was "
+                               "selected when fitting.")
+
+    def set_hyperparams(self, hyperparams=None, dataset=None, xdim=None):
+        """Set hyperparams (log-space), initialising the kernel if needed."""
+        if self.kernel is None:
+            self._initialize_kernel(dataset, xdim, hyperparams=hyperparams)
+        elif hyperparams is not None:
+            self.kernel.check_hyperparams(hyperparams)
+            self.kernel.set_hyperparams(hyperparams, logspace=True)
+        self.weights = None
+        self.gamma = None
+        self.var = None
+
+    def get_hyperparams(self):
+        if self.kernel is None:
+            return None
+        return self.kernel.get_hyperparams()
+
+    def build_preconditioner(self, dataset, max_rank=512, method="srht"):
+        """Build a Nystrom preconditioner; returns (precond, ratio)."""
+        self._run_pre_fitting_prep(dataset, max_rank)
+        engine = self._engine(dataset)
+        precond = NystromPreconditioner(engine, max_rank, self.verbose,
+                                        self.random_seed, method,
+                                        is_regression=self.is_regression)
+        return precond, precond.achieved_ratio
+
+    # ------------------------------------------------------------------
+    def _initialize_kernel(self, dataset=None, xdim=None, hyperparams=None,
+                           bounds=None):
+        if self.kernel_choice not in KERNEL_NAME_TO_CLASS:
+            raise RuntimeError("An unrecognized kernel choice was supplied.")
+        if dataset is not None:
+            input_xdim = dataset.get_xdim()
+        elif xdim is not None:
+            input_xdim = xdim
+        else:
+            raise RuntimeError("Either a dataset or xdim must be supplied.")
+
+        self.kernel = KERNEL_NAME_TO_CLASS[self.kernel_choice](
+            input_xdim, self.num_rffs, self.random_seed, None,
+            self.double_precision_fht,
+            kernel_spec_parms=self.kernel_spec_parms)
+
+        # Some kernels (Linear) set num_rffs themselves.
+        self._num_rffs = self.kernel.get_num_rffs()
+        if self.variance_rffs >= self.num_rffs and self.is_regression:
+            raise RuntimeError("The number of variance rffs must be "
+                               "< num_rffs.")
+        if bounds is not None:
+            self.kernel.set_bounds(bounds)
+        if hyperparams is not None:
+            self.kernel.check_hyperparams(hyperparams)
+            self.kernel.set_hyperparams(hyperparams, logspace=True)
+        self.weights, self.var = None, None
+        self._engines = {}
+
+    def _run_pre_nmll_prep(self, dataset, bounds=None):
+        if self.kernel is None:
+            self._initialize_kernel(dataset, bounds=bounds)
+        self.weights, self.var = None, None
+        return self.kernel.get_bounds()
+
+    def _run_singlepoint_nmll_prep(self, dataset, exact_method=False):
+        if self.kernel is None:
+            self._initialize_kernel(dataset)
+        self.weights, self.var = None, None
+        if self.num_rffs <= 2:
+            raise RuntimeError("num_rffs should be > 2 to use any tuning "
+                               "method.")
+        if exact_method and \
+                self.kernel.get_num_rffs() > constants.MAX_CLOSED_FORM_RFFS:
+            raise RuntimeError(
+                f"At most {constants.MAX_CLOSED_FORM_RFFS} rffs can be used "
+                "for exact-NMLL tuning; use approximate NMLL instead.")
+
+    def _run_pre_fitting_prep(self, dataset, max_rank=None):
+        self.trainy_mean = dataset.get_ymean()
+        self.trainy_std = dataset.get_ystd()
+        if self.kernel is None:
+            self._initialize_kernel(dataset)
+        if self.variance_rffs > self.kernel.get_num_rffs():
+            raise RuntimeError("The number of variance rffs should be <= "
+                               "the number of random features.")
+        if max_rank is not None:
+            if max_rank < 1:
+                raise RuntimeError("Invalid value for max_rank.")
+            if max_rank >= self.kernel.get_num_rffs():
+                raise RuntimeError("Max rank should be < the number of "
+                                   "rffs.")
+
+    # ------------------------------------------------------------------
+    def _autoselect_preconditioner(self, dataset, min_rank=512,
+                                   max_rank=3000, increment_size=512,
+                                   always_use_srht2=False,
+                                   ratio_target=30.):
+        """Rank autoselection loop (model_baseclass.py:376-434)."""
+        sample_frac, method, ratio, rank = 0.2, "srht", np.inf, min_rank
+        actual_num_rffs = self.kernel.get_num_rffs()
+
+        if rank >= actual_num_rffs:
+            rank = actual_num_rffs - 1
+            ratio = 0.5 * ratio_target
+        if dataset.get_ndatapoints() < 5000:
+            sample_frac = 1.0
+
+        while ratio > ratio_target and rank < max_rank:
+            ratio = self._check_rank_ratio(dataset, sample_frac, rank)
+            if ratio > ratio_target:
+                if (rank + increment_size) < max_rank and \
+                        (rank + increment_size) < actual_num_rffs:
+                    rank += increment_size
+                else:
+                    rank = min(max_rank, actual_num_rffs - 1)
+                    method = "srht_2"
+                    break
+
+        if self.verbose:
+            print(f"Using rank: {rank}")
+        if always_use_srht2:
+            method = "srht_2"
+
+        engine = self._engine(dataset)
+        return NystromPreconditioner(engine, rank, self.verbose,
+                                     self.random_seed, method,
+                                     is_regression=self.is_regression)
+
+    def _check_rank_ratio(self, dataset, sample_frac=0.1, max_rank=512):
+        """Sampled ratio estimate (model_baseclass.py:438-476).  Caps the
+        rff count at 8192 during the check (eigenvalue interlacing)."""
+        if sample_frac < 0.01 or sample_frac > 1:
+            raise RuntimeError("sample_frac must be in [0.01, 1].")
+        num_rffs = copy.deepcopy(self.num_rffs)
+        capped = min(self.num_rffs, 8192)
+        if capped != num_rffs:
+            self.num_rffs = capped
+        engine = self._engine(dataset)
+        eig = srht_ratio_check(engine, max_rank, self.random_seed,
+                               sample_frac=sample_frac)
+        ratio = float(eig.min()) / self.kernel.get_lambda() ** 2
+        ratio /= sample_frac
+        if capped != num_rffs:
+            self.num_rffs = num_rffs
+        return ratio
+
+    # ------------------------------------------------------------------
+    # properties with weight invalidation
+    @property
+    def kernel_choice(self):
+        return self._kernel_choice
+
+    @kernel_choice.setter
+    def kernel_choice(self, value):
+        if not isinstance(value, str):
+            raise RuntimeError("kernel_choice must be a string.")
+        if value not in KERNEL_NAME_TO_CLASS:
+            raise RuntimeError("You supplied an unrecognized kernel.")
+        self._kernel_choice = value
+        self.kernel = None
+        self.weights = None
+        self.gamma = None
+        self.var = None
+
+    @property
+    def num_rffs(self):
+        return self._num_rffs
+
+    @num_rffs.setter
+    def num_rffs(self, value):
+        self._num_rffs = value
+        if self.kernel is not None:
+            self._initialize_kernel(
+                xdim=self.kernel.get_xdim(),
+                hyperparams=self.kernel.get_hyperparams(),
+                bounds=self.kernel.get_bounds())
+        self.weights = None
+        self.gamma = None
+        self.var = None
+
+    @property
+    def variance_rffs(self):
+        return self._variance_rffs
+
+    @variance_rffs.setter
+    def variance_rffs(self, value):
+        if value > constants.MAX_VARIANCE_RFFS:
+            raise RuntimeError(
+                f"variance_rffs is capped at {constants.MAX_VARIANCE_RFFS}.")
+        if self.kernel is not None and value > self.num_rffs and \
+                self.kernel_choice not in ("Linear",):
+            raise RuntimeError("variance_rffs must be <= num_rffs.")
+        self._variance_rffs = value
+        if self.var is not None:
+            self.weights = None
+            self.gamma = None
+            self.var = None
+
+    @property
+    def random_seed(self):
+        return self._random_seed
+
+    @random_seed.setter
+    def random_seed(self, value):
+        self._random_seed = value
+        if self.kernel is not None:
+            self._initialize_kernel(
+                xdim=self.kernel.get_xdim(),
+                hyperparams=self.kernel.get_hyperparams(),
+                bounds=self.kernel.get_bounds())
+        self.weights = None
+        self.gamma = None
+        self.var = None

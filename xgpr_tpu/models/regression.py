@@ -1,0 +1,328 @@
+"""Approximate GP regression.
+
+API parity with the reference's xGPRegression
+(/root/reference/src/xGPR/xgp_regression.py): predict with variance,
+exact & approximate (SLQ) NMLL, exact NMLL gradient, exact / CG fitting and
+the crude + scipy.optimize tuning entry points.
+"""
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.optimize import minimize
+
+from .baseclass import ModelBaseclass
+from .. import constants
+from ..fitting.cg import ConjugateGrad, cg_fit
+from ..fitting.exact import (calc_weights_exact, calc_variance_exact,
+                             direct_weight_calc)
+from ..preconditioners.nystrom import NystromPreconditioner
+from ..scoring.slq import estimate_logdet
+from ..scoring.alpha_beta import optimize_alpha_beta
+from ..scoring.gradient import exact_nmll_reg_grad
+from ..scoring.lb_optimizer import shared_hparam_search
+from ..scoring.bayes_grid import bayes_grid_tuning
+from ..utils import rng as state_rng
+
+
+class GPRegression(ModelBaseclass):
+    """An approximate Gaussian process for regression."""
+
+    def __init__(self, num_rffs=256, variance_rffs=16, kernel_choice="RBF",
+                 device=None, kernel_settings=None, verbose=True,
+                 random_seed=123):
+        super().__init__(num_rffs, variance_rffs, kernel_choice,
+                         device=device, kernel_settings=kernel_settings,
+                         verbose=verbose, random_seed=random_seed)
+
+    # ------------------------------------------------------------------
+    def predict(self, input_x, sequence_lengths=None, get_var=False,
+                chunk_size=2000):
+        """Posterior mean (and optionally variance) for new datapoints
+        (xgp_regression.py:77-145)."""
+        self.pre_prediction_checks(input_x, sequence_lengths, get_var)
+        preds, var = [], []
+        lambda_ = self.kernel.get_lambda()
+        weights = jnp.asarray(self.weights)
+
+        for i in range(0, input_x.shape[0], chunk_size):
+            cut = min(i + chunk_size, input_x.shape[0])
+            slen = None if sequence_lengths is None \
+                else sequence_lengths[i:cut]
+            xfeatures = self.kernel.transform_x(input_x[i:cut, ...], slen)
+            preds.append(np.asarray(
+                (xfeatures * weights[None, :]).sum(axis=1)))
+            if get_var:
+                if self.exact_var_calculation:
+                    xf = xfeatures[:, :self.variance_rffs]
+                    pred_var = (jnp.asarray(self.var) @ xf.T).T
+                else:
+                    xf = xfeatures
+                    pred_var = self.var.batch_matvec(xf.T).T
+                pred_var = lambda_ ** 2 + lambda_ ** 2 * \
+                    (xf * pred_var).sum(axis=1)
+                var.append(np.asarray(pred_var))
+
+        preds = np.concatenate(preds)
+        if not get_var:
+            return preds * self.trainy_std + self.trainy_mean
+        var = np.concatenate(var)
+        var[var < 0] = 0
+        return (preds * self.trainy_std + self.trainy_mean,
+                var * self.trainy_std ** 2)
+
+    # ------------------------------------------------------------------
+    def exact_nmll(self, hyperparams, dataset):
+        """Exact NMLL via design-matrix Cholesky
+        (xgp_regression.py:152-205)."""
+        self._run_singlepoint_nmll_prep(dataset, exact_method=True)
+        self.kernel.set_hyperparams(hyperparams, logspace=True)
+        ndatapoints = dataset.get_ndatapoints()
+        engine = self._engine(dataset)
+        z_trans_z, z_trans_y, y_trans_y = engine.design_mat()
+        try:
+            chol, weights = direct_weight_calc(z_trans_z, z_trans_y,
+                                               self.kernel.get_lambda())
+        except Exception:
+            warnings.warn("Near-singular matrix encountered when "
+                          f"calculating score for {hyperparams}.")
+            return constants.DEFAULT_SCORE_IF_PROBLEM
+
+        nll1 = float(0.5 * (y_trans_y - z_trans_y @ weights))
+        nll2 = float(jnp.sum(jnp.log(jnp.diag(chol))))
+        negloglik, _ = optimize_alpha_beta(
+            self.kernel.get_lambda(), np.array([nll1, nll2]), ndatapoints,
+            self.kernel.get_num_rffs())
+        if np.isnan(negloglik):
+            warnings.warn("Near-singular matrix encountered when "
+                          f"calculating score for {hyperparams}.")
+            return constants.DEFAULT_SCORE_IF_PROBLEM
+        if self.verbose:
+            print("Evaluated NMLL.")
+        return negloglik
+
+    def exact_nmll_gradient(self, hyperparams, dataset, subsample=1.0):
+        """NMLL and its gradient (xgp_regression.py:209-260)."""
+        self._run_singlepoint_nmll_prep(dataset, exact_method=True)
+        init_hparams = self.kernel.get_hyperparams()
+        self.kernel.set_hyperparams(hyperparams, logspace=True)
+        hparams = self.kernel.get_hyperparams(logspace=False)
+        if self.verbose:
+            print("Evaluating gradient...")
+
+        engine = self._engine(dataset)
+        ztz, zty, yty, dz_ty, inner, nsamples = \
+            engine.gradient_terms(subsample=subsample)
+        try:
+            negloglik, grad, _ = exact_nmll_reg_grad(
+                ztz, zty, yty, hparams, nsamples, dz_ty, inner)
+        except Exception:
+            return (constants.DEFAULT_SCORE_IF_PROBLEM,
+                    hyperparams - init_hparams)
+        if np.isnan(negloglik):
+            return (constants.DEFAULT_SCORE_IF_PROBLEM,
+                    hyperparams - init_hparams)
+        return float(negloglik), grad
+
+    def approximate_nmll(self, hyperparams, dataset, manual_settings=None):
+        """SLQ-approximated NMLL (xgp_regression.py:264-377)."""
+        self._run_singlepoint_nmll_prep(dataset, exact_method=False)
+        self.kernel.set_hyperparams(hyperparams, logspace=True)
+        if self.verbose:
+            print("Now building preconditioner...")
+
+        settings = dict(constants.DEFAULT_NMLL_PARAMS)
+        engine = self._engine(dataset)
+        if manual_settings is not None:
+            for key in settings:
+                if key in manual_settings:
+                    settings[key] = manual_settings[key]
+            if settings["max_rank"] >= self.num_rffs:
+                settings["max_rank"] = self.num_rffs - 1
+            preconditioner = NystromPreconditioner(
+                engine, settings["max_rank"], False, self.random_seed,
+                settings["preconditioner_mode"])
+        else:
+            preconditioner = self._autoselect_preconditioner(
+                dataset, min_rank=constants.SMALLEST_NMLL_MAX_RANK,
+                max_rank=constants.LARGEST_NMLL_MAX_RANK,
+                always_use_srht2=True)
+            engine = self._engine(dataset)
+
+        if self.verbose:
+            print("Now fitting...")
+
+        num_rffs = self.kernel.get_num_rffs()
+        nsamples = settings["nsamples"]
+        probes = jnp.asarray(state_rng.normal_probes(
+            self.random_seed, num_rffs, nsamples))
+        probes = preconditioner.matvec_for_sampling(probes)
+
+        z_trans_y = preconditioner.get_zty()
+        y_trans_y = preconditioner.get_yty()
+        ndatapoints = dataset.get_ndatapoints()
+
+        rhs = jnp.concatenate(
+            [jnp.asarray(z_trans_y)[:, None] / ndatapoints,
+             probes.astype(jnp.asarray(z_trans_y).dtype)], axis=1)
+
+        cg = ConjugateGrad(engine)
+        x_k, alphas, betas = cg.fit(rhs, self.kernel.get_lambda(),
+                                    preconditioner,
+                                    settings["nmll_iter"],
+                                    settings["nmll_tol"], verbose=False,
+                                    nmll_settings=True)
+        x0 = x_k[:, 0] * ndatapoints
+        logdet = estimate_logdet(alphas, betas, num_rffs, preconditioner)
+        nll1 = float(0.5 * (y_trans_y - jnp.asarray(z_trans_y) @ x0))
+        negloglik, _ = optimize_alpha_beta(
+            self.kernel.get_lambda(), np.array([nll1, 0.5 * logdet]),
+            ndatapoints, num_rffs)
+        if self.verbose:
+            print("NMLL evaluation completed.")
+        return negloglik
+
+    # ------------------------------------------------------------------
+    def fit(self, dataset, preconditioner=None, tol=1e-6, max_iter=500,
+            mode="cg", suppress_var=False, max_rank=3000, min_rank=512,
+            autoselect_target_ratio=30., always_use_srht2=False,
+            run_diagnostics=False):
+        """Fit the model (xgp_regression.py:381-486)."""
+        self._run_pre_fitting_prep(dataset)
+        self.weights, self.var = None, None
+        self.exact_var_calculation = True
+        if self.verbose:
+            print("starting fitting")
+        engine = self._engine(dataset)
+
+        if mode == "exact":
+            if self.kernel.get_num_rffs() > constants.MAX_CLOSED_FORM_RFFS:
+                raise RuntimeError(
+                    "You specified 'exact' fitting, but the number of rffs "
+                    f"is > {constants.MAX_CLOSED_FORM_RFFS}.")
+            self.weights, n_iter, losses = calc_weights_exact(engine)
+        elif mode == "cg":
+            if preconditioner is None:
+                preconditioner = self._autoselect_preconditioner(
+                    dataset, min_rank=min_rank, max_rank=max_rank,
+                    ratio_target=autoselect_target_ratio,
+                    always_use_srht2=always_use_srht2)
+            self.weights, n_iter, losses = cg_fit(
+                engine, preconditioner, tol, max_iter, self.verbose)
+        else:
+            raise RuntimeError("Unrecognized fitting mode supplied. Must "
+                               "provide one of 'cg', 'exact'.")
+
+        if not suppress_var:
+            if self.verbose:
+                print("Now performing variance calculations...")
+            if "Linear" in self.kernel_choice:
+                self.var = NystromPreconditioner(
+                    engine, self.variance_rffs, False, self.random_seed,
+                    "srht")
+                self.exact_var_calculation = False
+            else:
+                self.var = calc_variance_exact(engine, self.variance_rffs)
+
+        if self.verbose:
+            print("Fitting complete.")
+        if run_diagnostics:
+            return n_iter, losses
+
+    # ------------------------------------------------------------------
+    def tune_hyperparams_crude(self, dataset, bounds=None, random_seed=123,
+                               max_bayes_iter=30, subsample=1.0):
+        """Crude (exact-NMLL, closed-form-lambda) tuner
+        (xgp_regression.py:497-561)."""
+        if subsample < 0.01 or subsample > 1:
+            raise RuntimeError("subsample must be in the range [0.01, 1].")
+        optim_bounds = self._run_pre_nmll_prep(dataset, bounds)
+        num_hparams = self.kernel.get_hyperparams().shape[0]
+        engine_factory = lambda: self._engine(dataset)
+
+        if num_hparams == 1:
+            best_score, hyperparams = shared_hparam_search(
+                np.array([]), self.kernel, engine_factory, optim_bounds,
+                subsample=subsample)
+            n_feval = 1
+        elif 1 < num_hparams < 4:
+            hyperparams, _, best_score, n_feval = bayes_grid_tuning(
+                self.kernel, engine_factory, optim_bounds, random_seed,
+                max_bayes_iter, self.verbose, subsample=subsample)
+        else:
+            raise RuntimeError("The crude procedure is only appropriate "
+                               "for kernels with 1-3 hyperparameters.")
+
+        self.kernel.set_hyperparams(hyperparams, logspace=True)
+        return hyperparams, n_feval, best_score
+
+    def tune_hyperparams(self, dataset, bounds=None, max_iter=50,
+                         tuning_method="Powell", starting_hyperparams=None,
+                         tol=1e-2, n_restarts=1, nmll_method="exact",
+                         manual_settings=None):
+        """scipy.optimize-driven tuning (xgp_regression.py:564-707)."""
+        if tuning_method == "Powell":
+            options = {"maxfev": max_iter, "xtol": 1e-1, "ftol": tol}
+        elif tuning_method == "Nelder-Mead":
+            options = {"maxfev": max_iter, "fatol": tol}
+        elif tuning_method == "L-BFGS-B":
+            if nmll_method == "approximate":
+                raise RuntimeError("Approximate NMLL is not supported for "
+                                   "L-BFGS-B at this time.")
+            options = {"maxiter": max_iter, "ftol": tol}
+        else:
+            raise RuntimeError("Invalid tuning method supplied.")
+
+        optim_bounds = self._run_pre_nmll_prep(dataset, bounds)
+
+        if nmll_method == "approximate":
+            args = (dataset, manual_settings)
+            cost_fun = self.approximate_nmll
+        elif nmll_method == "exact":
+            args = (dataset,)
+            cost_fun = self.exact_nmll_gradient \
+                if tuning_method == "L-BFGS-B" else self.exact_nmll
+        else:
+            raise RuntimeError("Invalid nmll method supplied.")
+
+        bounds_tuples = list(map(tuple, optim_bounds))
+        rng = np.random.default_rng(self.random_seed)
+
+        if starting_hyperparams is None:
+            x0 = self.kernel.get_hyperparams()
+            if (x0 - optim_bounds[:, 0]).min() < 0 or \
+                    (optim_bounds[:, 1] - x0).min() < 0:
+                x0 = optim_bounds.mean(axis=1)
+                warnings.warn(
+                    "The kernel hyperparameters were outside the "
+                    "optimization boundaries; using the bounds' mean as "
+                    "the starting point.", UserWarning)
+        elif isinstance(starting_hyperparams, np.ndarray) and \
+                starting_hyperparams.shape[0] == \
+                self.kernel.get_hyperparams().shape[0]:
+            x0 = starting_hyperparams
+        else:
+            raise RuntimeError("Invalid starting hyperparams were supplied.")
+
+        best_score, n_feval, hyperparams = np.inf, 0, None
+        for _ in range(n_restarts):
+            if tuning_method != "L-BFGS-B":
+                res = minimize(cost_fun, x0=x0, options=options,
+                               method=tuning_method, args=args,
+                               bounds=bounds_tuples)
+            else:
+                res = minimize(cost_fun, x0=x0, options=options,
+                               method=tuning_method, args=args,
+                               bounds=bounds_tuples, jac=True)
+            n_feval += res.nfev
+            if res.fun < best_score:
+                hyperparams, best_score = res.x, res.fun
+            if self.verbose:
+                print(f"Best score: {best_score}")
+            x0 = np.asarray([
+                rng.uniform(low=optim_bounds[j, 0],
+                            high=optim_bounds[j, 1])
+                for j in range(optim_bounds.shape[0])])
+
+        self.kernel.set_hyperparams(hyperparams, logspace=True)
+        return hyperparams, n_feval, best_score

@@ -1,0 +1,159 @@
+"""Randomized Nystrom preconditioner construction and application.
+
+Parity with preconditioners/rand_nys_constructors.py and
+rand_nys_preconditioners.py in the reference:
+
+- ``initialize_srht``: one SRHT sketch pass -> acc = (S Z)^T Z, then
+  C = S acc^T, SVD(C), B = acc^T V^T S^{-1/2} V, eig from SVD(B)^2
+  (:221-296).
+- ``initialize_srht_multipass`` ("srht_2"): SRHT first pass, then per extra
+  pass QR(acc) and a Z^T Z Q matvec pass; numerically shifted Cholesky +
+  triangular solve + SVD (:127-218).
+- ``srht_ratio_check``: row-subsampled sketch whose min eigenvalue predicts
+  the rank needed (eigenvalue interlacing; model_baseclass.py:438-476).
+- ``NystromPreconditioner``: P^{-1} v = U ((prefactor / (S + lambda^2)) U^T v)
+  + (v - U U^T v); logdet and P^{1/2}-probe helpers for SLQ
+  (rand_nys_preconditioners.py:66-119).
+"""
+import numpy as np
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from ..utils import rng as state_rng
+from .. import config
+
+
+def _sketch_state(engine, rank, random_state):
+    radem, idx = state_rng.srht_state(random_state, engine.num_rffs, rank,
+                                      np.float64)
+    return radem, idx
+
+
+def _nystrom_from_sketch(acc, radem, idx):
+    """Shared tail of the single-pass construction: sketch-SVD + whitening."""
+    from ..ops.sorf import srht_rows
+    c_mat = srht_rows(acc, jnp.asarray(radem, acc.dtype), jnp.asarray(idx))
+    _, c_s1, c_v1 = jnp.linalg.svd(c_mat, full_matrices=False)
+    mask = c_s1 < 1e-14
+    c_s1 = 1.0 / jnp.sqrt(jnp.clip(c_s1, min=1e-14))
+    c_s1 = jnp.where(mask, 0.0, c_s1)
+    b = acc.T @ c_v1.T @ (c_s1[:, None] * c_v1)
+    u_mat, s_mat, _ = jnp.linalg.svd(b, full_matrices=False)
+    return u_mat, s_mat ** 2
+
+
+def initialize_srht(engine, rank, random_state, is_regression=True):
+    """One-pass randomized Nystrom approximation."""
+    radem, idx = _sketch_state(engine, rank, random_state)
+    if is_regression:
+        acc, z_trans_y, y_trans_y = engine.sketch(radem, idx, with_zty=True)
+    else:
+        acc = engine.sketch(radem, idx, with_zty=False)
+        z_trans_y, y_trans_y = None, 0.0
+    u_mat, eig = _nystrom_from_sketch(acc, radem, idx)
+    return u_mat, eig, z_trans_y, y_trans_y
+
+
+def initialize_srht_multipass(engine, rank, random_state, n_passes=2,
+                              is_regression=True):
+    """Multi-pass construction: SRHT sketch then Z^T Z Q power passes."""
+    radem, idx = _sketch_state(engine, rank, random_state)
+    if is_regression:
+        acc, z_trans_y, y_trans_y = engine.sketch(radem, idx, with_zty=True)
+    else:
+        acc = engine.sketch(radem, idx, with_zty=False)
+        z_trans_y, y_trans_y = None, 0.0
+
+    acc = acc.T  # (M, rank)
+    q_mat = None
+    for _ in range(n_passes - 1):
+        q_mat, _ = jnp.linalg.qr(acc)
+        acc = engine.gauss_pass(q_mat)
+
+    norm = float(jnp.sqrt(jnp.sum(acc ** 2)))
+    shift = np.spacing(norm)
+    acc = acc + shift * q_mat
+    small = q_mat.T @ acc
+    chol = jnp.linalg.cholesky(small)
+    acc = solve_triangular(chol, acc.T, lower=True).T
+    u_mat, s_mat, _ = jnp.linalg.svd(acc, full_matrices=False)
+    eig = jnp.clip(s_mat ** 2 - shift, min=0)
+    return u_mat, eig, z_trans_y, y_trans_y
+
+
+def srht_ratio_check(engine, rank, random_state, sample_frac=0.1):
+    """Estimate preconditioner eigvals from a row subsample
+    (rand_nys_constructors.py:301-357)."""
+    radem, idx = _sketch_state(engine, rank, random_state)
+    acc = engine.sketch(radem, idx, with_zty=False,
+                        row_keep_prob=sample_frac, seed=random_state)
+    _, eig = _nystrom_from_sketch(acc, radem, idx)
+    return eig
+
+
+class NystromPreconditioner:
+    """Randomized Nystrom approximation to (Z^T Z + lambda^2 I)^{-1}."""
+
+    def __init__(self, engine, max_rank, verbose=False, random_state=123,
+                 method="srht", is_regression=True):
+        if method not in ("srht", "srht_2", "srht_3"):
+            raise RuntimeError("Unknown preconditioner construction method.")
+
+        if method.startswith("srht_"):
+            n_passes = int(method.split("_")[1])
+            u_mat, eig, zty, yty = initialize_srht_multipass(
+                engine, max_rank, random_state, n_passes, is_regression)
+        else:
+            u_mat, eig, zty, yty = initialize_srht(
+                engine, max_rank, random_state, is_regression)
+
+        lambda_ = engine.kernel.get_lambda()
+        min_eig = float(eig.min())
+        self.u_mat = u_mat
+        self.eig = eig + lambda_ ** 2
+        inv_eig = jnp.where(self.eig > 1e-14, 1.0 / self.eig, 0.0)
+        self.inv_eig = inv_eig
+        self.achieved_ratio = min_eig / lambda_ ** 2
+        self.prefactor = float(min_eig + lambda_ ** 2)
+        self.z_trans_y = zty
+        self.y_trans_y = yty
+
+    def batch_matvec(self, xvec):
+        """P^{-1} @ xvec for (M, K) columns."""
+        xprod = self.u_mat.T @ xvec
+        xprod1 = self.u_mat @ (self.inv_eig[:, None] * self.prefactor
+                               * xprod)
+        xprod2 = xvec - (self.u_mat @ xprod)
+        return xprod2 + xprod1
+
+    def rev_batch_matvec(self, xvec):
+        """P @ xvec (non-inverted)."""
+        xprod = self.u_mat.T @ xvec
+        xprod1 = self.u_mat @ (self.eig[:, None] * xprod) / self.prefactor
+        xprod2 = xvec - (self.u_mat @ xprod)
+        return xprod2 + xprod1
+
+    def get_rank(self):
+        return int(self.inv_eig.shape[0])
+
+    def get_logdet(self):
+        """log det P, used to correct SLQ logdet estimates
+        (rand_nys_preconditioners.py:96-102)."""
+        logdet = 1 + (self.eig - self.prefactor) / self.prefactor
+        return float(jnp.sum(jnp.log(jnp.clip(logdet, min=1e-12))))
+
+    def matvec_for_sampling(self, xvec):
+        """P^{1/2} @ xvec, for drawing N(0, P) probes
+        (rand_nys_preconditioners.py:105-119)."""
+        eigvals = jnp.sqrt(jnp.clip(self.eig, min=0))
+        prefactor = np.sqrt(1.0 / self.prefactor)
+        xprod = self.u_mat.T @ xvec
+        xprod1 = self.u_mat @ (eigvals[:, None] * prefactor * xprod)
+        xprod2 = xvec - (self.u_mat @ xprod)
+        return xprod1 + xprod2
+
+    def get_zty(self):
+        return self.z_trans_y
+
+    def get_yty(self):
+        return float(self.y_trans_y)
