@@ -40,6 +40,7 @@ class Engine:
         self.fn = kernel.pure_feature_fn()
         self.num_rffs = kernel.get_num_rffs()
         self.ndatapoints = dataset.get_ndatapoints()
+        self.is_classification = dataset.get_n_classes() is not None
         self._dtype = config.fp_dtype()
         self._jit_cache = {}
 
@@ -58,9 +59,10 @@ class Engine:
     def _build_stack(self):
         xs, ys, ls, ms = [], [], [], []
         has_l = False
+        ydt = np.int32 if self.is_classification else np.float64
         for xb, yb, lb, mb in self.dataset.padded_batches(with_y=True):
             xs.append(np.asarray(xb))
-            ys.append(np.asarray(yb, dtype=np.float64))
+            ys.append(np.asarray(yb, dtype=ydt))
             ms.append(mb)
             if lb is not None:
                 has_l = True
@@ -68,7 +70,9 @@ class Engine:
         dt = self._dtype
         self._stacked = {
             "x": jnp.asarray(np.stack(xs), dtype=dt),
-            "y": jnp.asarray(np.stack(ys), dtype=dt),
+            "y": jnp.asarray(np.stack(ys),
+                             dtype=jnp.int32 if self.is_classification
+                             else dt),
             "l": jnp.asarray(np.stack(ls), dtype=jnp.int32) if has_l
                  else None,
             "m": jnp.asarray(np.stack(ms), dtype=dt),
@@ -87,9 +91,10 @@ class Engine:
                 lb = None if s["l"] is None else s["l"][i]
                 yield s["x"][i], s["y"][i], lb, s["m"][i]
         else:
+            ydt = jnp.int32 if self.is_classification else dt
             for xb, yb, lb, mb in self.dataset.padded_batches(with_y=with_y):
                 yield (jnp.asarray(xb, dtype=dt),
-                       None if yb is None else jnp.asarray(yb, dtype=dt),
+                       None if yb is None else jnp.asarray(yb, dtype=ydt),
                        None if lb is None else jnp.asarray(lb, jnp.int32),
                        jnp.asarray(mb, dtype=dt))
 
@@ -262,6 +267,41 @@ class Engine:
         """Z^T Z Q for a dense (M, rank) Q (rand_nys_constructors.py:18-36).
         Same reduction as ztzv with a matrix RHS."""
         return self.ztzv(q_mat)
+
+    def classification_loss_grad(self, wvec, lambda_):
+        """Softmax cross-entropy loss + gradient over the dataset, with
+        L2(lambda^2) regularisation excluding the intercept row
+        (nonlinear_cg_toolkit.py:231-275)."""
+        feat = self._features
+
+        def build():
+            @jax.jit
+            def run(params, xb, lb, mb, yb, w):
+                z = feat(params, xb, lb, mb)
+                pred = _mm(z, w)
+                pred = pred - jnp.max(pred, axis=1, keepdims=True)
+                p = jnp.exp(pred)
+                p = p / jnp.sum(p, axis=1, keepdims=True)
+                logp = jnp.log(jnp.clip(p, min=1e-16))
+                picked = jnp.take_along_axis(logp, yb[:, None],
+                                             axis=1)[:, 0]
+                loss = -jnp.sum(picked * mb)
+                onehot = jax.nn.one_hot(yb, w.shape[1], dtype=z.dtype)
+                grad = _mm(z.T, (p - onehot) * mb[:, None])
+                return loss, grad
+            return run
+        run = self._get_jit("class_loss_grad", build)
+
+        w = jnp.asarray(wvec, self._dtype)
+        grad = jnp.zeros_like(w)
+        grad = grad.at[1:, :].add((lambda_ ** 2) * w[1:, :])
+        loss = 0.5 * (lambda_ ** 2) * float(jnp.sum(w[1:, :] ** 2))
+        params = self._params()
+        for xb, yb, lb, mb in self._batches():
+            lb_loss, lb_grad = run(params, xb, lb, mb, yb, w)
+            loss += float(lb_loss)
+            grad = grad + lb_grad
+        return grad, loss
 
     def gradient_terms(self, subsample=1.0, seed=123):
         """Terms for the exact NMLL gradient (nmll_gradient_tools.py:12-90).

@@ -1,0 +1,36 @@
+"""Static feature-extraction layers.
+
+Parity: /root/reference/src/xGPR/static_layers/fast_conv.py -- a one-shot
+ReLU + global-maxpool conv random-feature extractor whose output feeds an
+RBF model (3-layer-CNN analogue).
+"""
+import numpy as np
+
+from ..kernels.l2_conv1d import FHTMaxpoolConv1dFeatureExtractor
+
+
+class FastConv1d:
+    """Convolution-based feature extraction for sequences / time series."""
+
+    def __init__(self, seq_width, device=None, random_seed=123,
+                 conv_width=9, num_features=512):
+        self.seq_width = seq_width
+        self.num_features = num_features
+        self.conv_kernel = FHTMaxpoolConv1dFeatureExtractor(
+            seq_width, num_features, conv_width=conv_width,
+            random_seed=random_seed)
+
+    def predict(self, x_array, sequence_lengths, chunk_size=2000):
+        """Extract (N, num_features) maxpool conv features
+        (fast_conv.py:68-118)."""
+        if sequence_lengths.shape[0] != x_array.shape[0]:
+            raise RuntimeError("The shape[0] of sequence_lengths must "
+                               "match the shape[0] of x_array.")
+        feats = []
+        for i in range(0, x_array.shape[0], chunk_size):
+            cut = min(x_array.shape[0], i + chunk_size)
+            if cut - i == 0:
+                continue
+            feats.append(np.asarray(self.conv_kernel.transform_x(
+                x_array[i:cut, ...], sequence_lengths[i:cut])))
+        return np.vstack(feats)
