@@ -1,0 +1,96 @@
+"""Headline benchmark: streamed CG matvec throughput (the hot loop).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The measured program is the framework's hot loop -- a batched-RHS CG matvec
+Z^T (Z v): SORF random features are generated on-chip and immediately
+consumed by the two matmuls, exactly as in fitting (cg_tools.py:26-53 in
+the reference).  The output is a small (M, K) matrix whose value depends on
+every chunk, so timing it forces full execution without the (very slow)
+host-transfer path of this environment's TPU tunnel.
+
+``value`` is random features generated+consumed per second per chip.
+``vs_baseline`` is the ratio to the same program on XLA-CPU on this host
+(the reference's own C++/OpenMP engine cannot be built here: its nanobind
+submodule is empty and the container has no egress).
+"""
+import json
+import time
+from math import ceil
+
+import numpy as np
+
+
+def _matvec_rate(device, n_rows=32768, d=256, num_rffs=8192, chunk=4096,
+                 n_rhs=8, repeats=5):
+    import jax
+    import jax.numpy as jnp
+    from xgpr_tpu.ops.sorf import rbf_feature_map
+    from xgpr_tpu.utils import rng as state_rng
+    from xgpr_tpu.ops.hadamard import next_pow2
+
+    padded = next_pow2(d)
+    num_freqs = num_rffs // 2
+    nblocks = max(1, ceil(num_freqs / padded))
+    radem = jax.device_put(jnp.asarray(state_rng.radem_diagonals(
+        123, nblocks, padded, np.float32)), device)
+    chi = jax.device_put(jnp.asarray(state_rng.chi_scaling(
+        123, padded, num_freqs, np.float32)), device)
+
+    rng = np.random.default_rng(0)
+    n_chunks = n_rows // chunk
+    x = jax.device_put(jnp.asarray(
+        rng.standard_normal((n_chunks, chunk, d)).astype(np.float32)),
+        device)
+    # A distinct RHS per repeat defeats any result caching in the runtime.
+    vs = jax.device_put(jnp.asarray(rng.standard_normal(
+        (repeats + 1, num_rffs, n_rhs)).astype(np.float32)), device)
+
+    prec = jax.lax.Precision.HIGHEST
+
+    def matvec(x, v, r, c):
+        def body(acc, xb):
+            z = rbf_feature_map(xb, r, c, False)
+            zv = jnp.matmul(z, v, precision=prec)
+            return acc + jnp.matmul(z.T, zv, precision=prec), None
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((num_rffs, n_rhs), jnp.float32), x)
+        return acc
+
+    fn = jax.jit(matvec, device=device)
+    np.asarray(fn(x, vs[0], radem, chi))  # compile + warmup
+
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        # Host-read of the small (M, K) output: the only completion signal
+        # this environment's TPU tunnel reports faithfully.
+        np.asarray(fn(x, vs[i + 1], radem, chi))
+        times.append(time.perf_counter() - t0)
+    return n_rows * num_rffs / float(np.median(times))
+
+
+def main():
+    import jax
+
+    accel = [dv for dv in jax.devices() if dv.platform != "cpu"]
+    target = accel[0] if accel else jax.devices()[0]
+    value = _matvec_rate(target)
+
+    vs_baseline = 1.0
+    if accel:
+        cpu = jax.devices("cpu")[0]
+        cpu_rate = _matvec_rate(cpu, n_rows=8192, chunk=2048, repeats=2)
+        vs_baseline = value / cpu_rate
+
+    print(json.dumps({
+        "metric": "cg_matvec_rff_features_per_sec_per_chip",
+        "value": float(value),
+        "unit": "features/s",
+        "vs_baseline": float(vs_baseline),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,2 @@
+from .mesh import data_mesh, batch_sharding, replicated, DATA_AXIS
+from .sharded import ShardedEngine
