@@ -22,21 +22,21 @@ from math import ceil
 import numpy as np
 
 
-def _matvec_rate(device, n_rows=32768, d=256, num_rffs=8192, chunk=4096,
+def _matvec_rate(device, n_rows=262144, d=256, num_rffs=8192, chunk=8192,
                  n_rhs=8, repeats=5):
     import jax
     import jax.numpy as jnp
-    from xgpr_tpu.ops.sorf import rbf_feature_map
-    from xgpr_tpu.utils import rng as state_rng
-    from xgpr_tpu.ops.hadamard import next_pow2
+    from xgpr_tpu.kernels import KERNEL_NAME_TO_CLASS
 
-    padded = next_pow2(d)
+    # The production feature path (auto-selects the dense MXU projection).
+    kernel = KERNEL_NAME_TO_CLASS["RBF"]((n_rows, d), num_rffs, 123)
+    kernel.set_hyperparams(np.log(np.array([0.1, 1.0])))
+    feature_fn = kernel.pure_feature_fn()
+    params = jax.device_put(
+        jax.tree.map(lambda a: a.astype(jnp.float32)
+                     if a.dtype.kind == "f" else a,
+                     kernel.feature_params()), device)
     num_freqs = num_rffs // 2
-    nblocks = max(1, ceil(num_freqs / padded))
-    radem = jax.device_put(jnp.asarray(state_rng.radem_diagonals(
-        123, nblocks, padded, np.float32)), device)
-    chi = jax.device_put(jnp.asarray(state_rng.chi_scaling(
-        123, padded, num_freqs, np.float32)), device)
 
     rng = np.random.default_rng(0)
     n_chunks = n_rows // chunk
@@ -49,9 +49,9 @@ def _matvec_rate(device, n_rows=32768, d=256, num_rffs=8192, chunk=4096,
 
     prec = jax.lax.Precision.HIGHEST
 
-    def matvec(x, v, r, c):
+    def matvec(x, v, params):
         def body(acc, xb):
-            z = rbf_feature_map(xb, r, c, False)
+            z = feature_fn(params, xb, None)
             zv = jnp.matmul(z, v, precision=prec)
             return acc + jnp.matmul(z.T, zv, precision=prec), None
         acc, _ = jax.lax.scan(
@@ -59,14 +59,14 @@ def _matvec_rate(device, n_rows=32768, d=256, num_rffs=8192, chunk=4096,
         return acc
 
     fn = jax.jit(matvec, device=device)
-    np.asarray(fn(x, vs[0], radem, chi))  # compile + warmup
+    np.asarray(fn(x, vs[0], params))  # compile + warmup
 
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
         # Host-read of the small (M, K) output: the only completion signal
         # this environment's TPU tunnel reports faithfully.
-        np.asarray(fn(x, vs[i + 1], radem, chi))
+        np.asarray(fn(x, vs[i + 1], params))
         times.append(time.perf_counter() - t0)
     return n_rows * num_rffs / float(np.median(times))
 

@@ -26,15 +26,39 @@ def oracle_sorf_project(x, radem, num_freqs):
     return out[:, :num_freqs]
 
 
+def oracle_positions(num_freqs, padded):
+    """Independently recompute the block [cos|sin] layout positions."""
+    cos_pos = np.zeros(num_freqs, dtype=np.int64)
+    sin_pos = np.zeros(num_freqs, dtype=np.int64)
+    col = 0
+    i = 0
+    while i < num_freqs:
+        w = min(padded, num_freqs - i) if num_freqs > padded else num_freqs
+        for j in range(w):
+            cos_pos[i + j] = col + j
+            sin_pos[i + j] = col + w + j
+        col += 2 * w
+        i += w
+    return cos_pos, sin_pos
+
+
+def oracle_assemble(cosv, sinv, padded):
+    n, f = cosv.shape
+    cos_pos, sin_pos = oracle_positions(f, padded)
+    out = np.zeros((n, 2 * f))
+    out[:, cos_pos] = cosv
+    out[:, sin_pos] = sinv
+    return out
+
+
 def oracle_rbf_features(x, radem, chi, sigma, fit_intercept):
-    """Interleaved cos/sin RBF features with reference scaling."""
+    """Block-layout cos/sin RBF features with reference scaling."""
     num_freqs = chi.shape[0]
+    padded = radem.shape[-1]
     h = oracle_sorf_project(x * sigma, radem, num_freqs) * chi[None, :]
     scale = np.sqrt(1.0 / (num_freqs - 0.5)) if fit_intercept \
         else np.sqrt(1.0 / num_freqs)
-    out = np.zeros((x.shape[0], 2 * num_freqs))
-    out[:, 0::2] = np.cos(h) * scale
-    out[:, 1::2] = np.sin(h) * scale
+    out = oracle_assemble(np.cos(h) * scale, np.sin(h) * scale, padded)
     if fit_intercept:
         out[:, 0] = 1.0
     return out
@@ -46,7 +70,8 @@ def oracle_conv_rbf_features(x, seq_lengths, radem, chi, sigma, width,
     n, l, d = x.shape
     num_freqs = chi.shape[0]
     scale = np.sqrt(1.0 / num_freqs)
-    out = np.zeros((n, 2 * num_freqs))
+    cosa = np.zeros((n, num_freqs))
+    sina = np.zeros((n, num_freqs))
     for i in range(n):
         nk = int(seq_lengths[i]) - width + 1
         if scaling_type == 1:
@@ -58,9 +83,9 @@ def oracle_conv_rbf_features(x, seq_lengths, radem, chi, sigma, width,
         for j in range(nk):
             window = (x[i, j:j + width, :] * sigma).reshape(1, -1)
             h = oracle_sorf_project(window, radem, num_freqs)[0] * chi
-            out[i, 0::2] += np.cos(h) * row_scale
-            out[i, 1::2] += np.sin(h) * row_scale
-    return out
+            cosa[i] += np.cos(h) * row_scale
+            sina[i] += np.sin(h) * row_scale
+    return oracle_assemble(cosa, sina, radem.shape[-1])
 
 
 def oracle_conv_maxpool_features(x, seq_lengths, radem, chi, width):

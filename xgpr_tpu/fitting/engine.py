@@ -198,20 +198,23 @@ class Engine:
         return zty, float(yty)
 
     def var_design_mat(self, variance_rffs):
-        """Z_v^T Z_v over the first variance_rffs feature columns."""
+        """Z_v^T Z_v over the variance feature columns (the cos/sin pairs
+        of the first variance_rffs/2 frequencies -- see ops/layout.py)."""
         feat = self._features
+        idx = jnp.asarray(
+            self.kernel.variance_column_indices(variance_rffs))
 
         def build():
-            @partial(jax.jit, static_argnames=("vr",))
-            def run(params, xb, lb, mb, vr):
-                z = feat(params, xb, lb, mb)[:, :vr]
+            @jax.jit
+            def run(params, xb, lb, mb, idx):
+                z = jnp.take(feat(params, xb, lb, mb), idx, axis=1)
                 return _mm(z.T, z)
             return run
         run = self._get_jit("var_design_mat", build)
         acc = jnp.zeros((variance_rffs, variance_rffs), dtype=self._dtype)
         params = self._params()
         for xb, _, lb, mb in self._batches(with_y=False):
-            acc = acc + run(params, xb, lb, mb, variance_rffs)
+            acc = acc + run(params, xb, lb, mb, idx)
         return acc
 
     def sketch(self, srht_radem, sample_idx, with_zty=True,

@@ -17,7 +17,9 @@ import jax.numpy as jnp
 
 from .kernel_baseclass import KernelBaseclass
 from ..ops.hadamard import next_pow2
-from ..ops.sorf import rbf_feature_map, rbf_feature_map_grad
+from ..ops.sorf import (rbf_feature_map, rbf_feature_map_grad,
+                        dense_sorf_projection, dense_threshold_ok,
+                        rbf_feature_map_dense, rbf_feature_map_dense_grad)
 from ..utils import rng as state_rng
 
 
@@ -38,15 +40,36 @@ class SORFKernelBaseclass(KernelBaseclass):
         nblocks = max(1, ceil(self.num_freqs / padded))
         self.padded_dims = padded
         self.nblocks = nblocks
+        self._feature_padded = padded
         sdtype = np.float64 if double_precision else np.float32
         self.radem_diag = jnp.asarray(
             state_rng.radem_diagonals(random_seed, nblocks, padded, sdtype))
         self._chi_np = state_rng.chi_scaling(random_seed, padded,
                                              self.num_freqs, sdtype)
         self.chi_arr = jnp.asarray(self._chi_np)
+        # Dense-projection fast path (see dense_sorf_projection): identical
+        # math, MXU-aligned.  Lazily materialised per dtype.
+        self.use_dense_projection = dense_threshold_ok(xdim[-1],
+                                                       self.num_freqs)
+        self._dense_proj_cache = {}
+
+    def _dense_proj(self, dtype):
+        key = jnp.dtype(dtype).name
+        proj = self._dense_proj_cache.get(key)
+        if proj is None:
+            proj = dense_sorf_projection(self.radem_diag.astype(dtype),
+                                         self.chi_arr.astype(dtype),
+                                         self._xdim[-1])
+            self._dense_proj_cache = {key: proj}
+        return proj
 
     def kernel_specific_transform(self, input_x, sequence_length=None):
         sigma = jnp.asarray(self.hyperparams[1], dtype=input_x.dtype)
+        if self.use_dense_projection:
+            return _rbf_transform_dense(input_x * sigma,
+                                        self._dense_proj(input_x.dtype),
+                                        self.fit_intercept,
+                                        self.padded_dims)
         return _rbf_transform(input_x, self.radem_diag.astype(input_x.dtype),
                               self.chi_arr.astype(input_x.dtype), sigma,
                               self.fit_intercept)
@@ -54,26 +77,44 @@ class SORFKernelBaseclass(KernelBaseclass):
     def feature_params(self):
         from .. import config
         dt = jnp.float64 if self.double_precision else config.fp_dtype()
-        return {"radem": self.radem_diag.astype(dt),
-                "chi": self.chi_arr.astype(dt),
-                "sigma": jnp.asarray(self.hyperparams[1], dtype=dt)}
+        params = {"sigma": jnp.asarray(self.hyperparams[1], dtype=dt)}
+        if self.use_dense_projection:
+            params["proj"] = self._dense_proj(dt)
+        else:
+            params["radem"] = self.radem_diag.astype(dt)
+            params["chi"] = self.chi_arr.astype(dt)
+        return params
 
     def pure_feature_fn(self):
         fn = getattr(self, "_pure_fn", None)
         if fn is None:
             intercept = self.fit_intercept
-
-            def fn(params, x, seq_len=None):
-                feats = rbf_feature_map(x * params["sigma"], params["radem"],
-                                        params["chi"], intercept)
-                if intercept:
-                    feats = feats.at[:, 0].set(1.0)
-                return feats
+            padded = self.padded_dims
+            if self.use_dense_projection:
+                def fn(params, x, seq_len=None):
+                    feats = rbf_feature_map_dense(x * params["sigma"],
+                                                  params["proj"],
+                                                  intercept, padded)
+                    if intercept:
+                        feats = feats.at[:, 0].set(1.0)
+                    return feats
+            else:
+                def fn(params, x, seq_len=None):
+                    feats = rbf_feature_map(x * params["sigma"],
+                                            params["radem"],
+                                            params["chi"], intercept)
+                    if intercept:
+                        feats = feats.at[:, 0].set(1.0)
+                    return feats
             self._pure_fn = fn
         return fn
 
     def kernel_specific_gradient(self, input_x, sequence_length=None):
         sigma = jnp.asarray(self.hyperparams[1], dtype=input_x.dtype)
+        if self.use_dense_projection:
+            return _rbf_grad_dense(input_x,
+                                   self._dense_proj(input_x.dtype), sigma,
+                                   self.fit_intercept, self.padded_dims)
         return _rbf_grad(input_x, self.radem_diag.astype(input_x.dtype),
                          self.chi_arr.astype(input_x.dtype), sigma,
                          self.fit_intercept)
@@ -90,6 +131,16 @@ def _rbf_transform(x, radem, chi, sigma, fit_intercept):
 @partial(jax.jit, static_argnames=("fit_intercept",))
 def _rbf_grad(x, radem, chi, sigma, fit_intercept):
     return rbf_feature_map_grad(x, radem, chi, sigma, fit_intercept)
+
+
+@partial(jax.jit, static_argnames=("fit_intercept", "padded"))
+def _rbf_transform_dense(x_scaled, proj, fit_intercept, padded):
+    return rbf_feature_map_dense(x_scaled, proj, fit_intercept, padded)
+
+
+@partial(jax.jit, static_argnames=("fit_intercept", "padded"))
+def _rbf_grad_dense(x, proj, sigma, fit_intercept, padded):
+    return rbf_feature_map_dense_grad(x, proj, sigma, fit_intercept, padded)
 
 
 class RBF(SORFKernelBaseclass):

@@ -21,6 +21,7 @@ from .kernel_baseclass import KernelBaseclass
 from ..ops.hadamard import next_pow2
 from ..ops.conv import (conv_rbf_features, SCALING_NONE, SCALING_SQRT,
                         SCALING_FULL)
+from ..ops.sorf import dense_sorf_projection, dense_threshold_ok
 from ..utils import rng as state_rng
 
 _AVERAGING = {"none": SCALING_NONE, "sqrt": SCALING_SQRT,
@@ -29,9 +30,9 @@ _AVERAGING = {"none": SCALING_NONE, "sqrt": SCALING_SQRT,
 
 @partial(jax.jit, static_argnames=("width", "scaling_type", "with_grad"))
 def _conv_transform(x, slen, radem, chi, sigma, width, scaling_type,
-                    with_grad):
+                    with_grad, proj=None):
     return conv_rbf_features(x, slen, radem, chi, sigma, width,
-                             scaling_type, with_grad=with_grad)
+                             scaling_type, with_grad=with_grad, proj=proj)
 
 
 class ConvKernelBaseclass(KernelBaseclass):
@@ -60,12 +61,26 @@ class ConvKernelBaseclass(KernelBaseclass):
         padded = next_pow2(self.conv_width * xdim[2])
         nblocks = max(1, ceil(self.num_freqs / padded))
         self.padded_dims, self.nblocks = padded, nblocks
+        self._feature_padded = padded
         sdtype = np.float64 if double_precision else np.float32
         self.radem_diag = jnp.asarray(
             state_rng.radem_diagonals(random_seed, nblocks, padded, sdtype))
         self._chi_np = state_rng.chi_scaling(random_seed, padded,
                                              self.num_freqs, sdtype)
         self.chi_arr = jnp.asarray(self._chi_np)
+        self.use_dense_projection = dense_threshold_ok(
+            self.conv_width * xdim[2], self.num_freqs)
+        self._dense_proj_cache = {}
+
+    def _dense_proj(self, dtype):
+        key = jnp.dtype(dtype).name
+        proj = self._dense_proj_cache.get(key)
+        if proj is None:
+            proj = dense_sorf_projection(self.radem_diag.astype(dtype),
+                                         self.chi_arr.astype(dtype),
+                                         self.conv_width * self._xdim[2])
+            self._dense_proj_cache = {key: proj}
+        return proj
 
     def _require_lengths(self, input_x, sequence_length):
         if sequence_length is None:
@@ -77,25 +92,34 @@ class ConvKernelBaseclass(KernelBaseclass):
     def kernel_specific_transform(self, input_x, sequence_length=None):
         self._require_lengths(input_x, sequence_length)
         sigma = jnp.asarray(self.hyperparams[1], dtype=input_x.dtype)
+        proj = self._dense_proj(input_x.dtype) \
+            if self.use_dense_projection else None
         return _conv_transform(input_x, sequence_length,
                                self.radem_diag.astype(input_x.dtype),
                                self.chi_arr.astype(input_x.dtype), sigma,
-                               self.conv_width, self.scaling_type, False)
+                               self.conv_width, self.scaling_type, False,
+                               proj)
 
     def kernel_specific_gradient(self, input_x, sequence_length=None):
         self._require_lengths(input_x, sequence_length)
         sigma = jnp.asarray(self.hyperparams[1], dtype=input_x.dtype)
+        proj = self._dense_proj(input_x.dtype) \
+            if self.use_dense_projection else None
         return _conv_transform(input_x, sequence_length,
                                self.radem_diag.astype(input_x.dtype),
                                self.chi_arr.astype(input_x.dtype), sigma,
-                               self.conv_width, self.scaling_type, True)
+                               self.conv_width, self.scaling_type, True,
+                               proj)
 
     def feature_params(self):
         from .. import config
         dt = jnp.float64 if self.double_precision else config.fp_dtype()
-        return {"radem": self.radem_diag.astype(dt),
-                "chi": self.chi_arr.astype(dt),
-                "sigma": jnp.asarray(self.hyperparams[1], dtype=dt)}
+        params = {"radem": self.radem_diag.astype(dt),
+                  "chi": self.chi_arr.astype(dt),
+                  "sigma": jnp.asarray(self.hyperparams[1], dtype=dt)}
+        if self.use_dense_projection:
+            params["proj"] = self._dense_proj(dt)
+        return params
 
     def pure_feature_fn(self):
         fn = getattr(self, "_pure_fn", None)
@@ -103,11 +127,13 @@ class ConvKernelBaseclass(KernelBaseclass):
             intercept = self.fit_intercept
             width = self.conv_width
             scaling = self.scaling_type
+            use_dense = self.use_dense_projection
 
             def fn(params, x, seq_len):
-                feats = conv_rbf_features(x, seq_len, params["radem"],
-                                          params["chi"], params["sigma"],
-                                          width, scaling)
+                feats = conv_rbf_features(
+                    x, seq_len, params["radem"], params["chi"],
+                    params["sigma"], width, scaling,
+                    proj=params.get("proj") if use_dense else None)
                 if intercept:
                     feats = feats.at[:, 0].set(1.0)
                 return feats

@@ -105,6 +105,20 @@ class KernelBaseclass(ABC):
     def get_num_rffs(self):
         return self.num_rffs
 
+    def variance_column_indices(self, variance_rffs):
+        """Columns implementing 'use the first variance_rffs features' for
+        posterior variance (exact_fitting_toolkit.py:40-68).  For
+        sine-cosine kernels this selects the cos/sin pairs of the first
+        variance_rffs/2 frequencies under the block layout; non-trig
+        kernels (Linear) override with a plain prefix."""
+        from ..ops.layout import variance_column_indices
+        import numpy as np
+        padded = getattr(self, "_feature_padded", None)
+        if padded is None:
+            return np.arange(variance_rffs)
+        return variance_column_indices(self.num_freqs, padded,
+                                       variance_rffs)
+
     def get_num_freqs(self):
         return self.num_freqs
 

@@ -66,6 +66,7 @@ class Conv1dTwoLayer(KernelBaseclass):
 
         # Layer 2: RBF on the init_rffs-dim profile.
         padded2 = next_pow2(self.init_rffs)
+        self._feature_padded = padded2
         nblocks2 = max(1, ceil(self.num_freqs / padded2))
         self.radem_diag2 = jnp.asarray(
             state_rng.radem_diagonals(seed2, nblocks2, padded2, sdtype))

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from .kernel_baseclass import KernelBaseclass
 from ..ops.hadamard import next_pow2
-from ..ops.sorf import rbf_feature_map
+from ..ops.sorf import (rbf_feature_map, rbf_feature_map_dense,
+                        dense_threshold_ok)
 from ..ops.ard import precompute_sorf_weights, mini_ard_grad
 from ..utils import rng as state_rng
 
@@ -26,6 +27,12 @@ from ..utils import rng as state_rng
 def _ard_transform(x, ard_weights, radem, chi, fit_intercept):
     return rbf_feature_map(x * ard_weights[None, :], radem, chi,
                            fit_intercept)
+
+
+@partial(jax.jit, static_argnames=("fit_intercept", "padded"))
+def _ard_transform_dense(x, ard_weights, proj, fit_intercept, padded):
+    return rbf_feature_map_dense(x * ard_weights[None, :], proj,
+                                 fit_intercept, padded)
 
 
 class MiniARD(KernelBaseclass):
@@ -55,6 +62,7 @@ class MiniARD(KernelBaseclass):
         padded = next_pow2(xdim[-1])
         nblocks = max(1, ceil(self.num_freqs / padded))
         self.padded_dims, self.nblocks = padded, nblocks
+        self._feature_padded = padded
         sdtype = np.float64 if double_precision else np.float32
         self.radem_diag = jnp.asarray(
             state_rng.radem_diagonals(random_seed, nblocks, padded, sdtype))
@@ -67,6 +75,8 @@ class MiniARD(KernelBaseclass):
             (int(self.split_pts[i - 1]), int(self.split_pts[i]))
             for i in range(1, self.split_pts.shape[0])]
         self.precomputed_weights = None
+        self.use_dense_projection = dense_threshold_ok(xdim[-1],
+                                                       self.num_freqs)
         self.kernel_specific_set_hyperparams()
 
     def _check_split_points(self, xdim):
@@ -81,8 +91,17 @@ class MiniARD(KernelBaseclass):
         for g, (s, e) in enumerate(self._group_slices):
             self.full_ard_weights[s:e] = self.hyperparams[g + 1]
 
+    def _dense_proj(self, dtype):
+        self._ensure_precomputed(dtype)
+        return self.precomputed_weights.astype(dtype).T
+
     def kernel_specific_transform(self, input_x, sequence_length=None):
         w = jnp.asarray(self.full_ard_weights, dtype=input_x.dtype)
+        if self.use_dense_projection:
+            return _ard_transform_dense(input_x, w,
+                                        self._dense_proj(input_x.dtype),
+                                        self.fit_intercept,
+                                        self.padded_dims)
         return _ard_transform(input_x, w,
                               self.radem_diag.astype(input_x.dtype),
                               self.chi_arr.astype(input_x.dtype),
@@ -91,22 +110,36 @@ class MiniARD(KernelBaseclass):
     def feature_params(self):
         from .. import config
         dt = jnp.float64 if self.double_precision else config.fp_dtype()
-        return {"radem": self.radem_diag.astype(dt),
-                "chi": self.chi_arr.astype(dt),
-                "ard_weights": jnp.asarray(self.full_ard_weights, dtype=dt)}
+        params = {"ard_weights": jnp.asarray(self.full_ard_weights,
+                                             dtype=dt)}
+        if self.use_dense_projection:
+            params["proj"] = self._dense_proj(dt)
+        else:
+            params["radem"] = self.radem_diag.astype(dt)
+            params["chi"] = self.chi_arr.astype(dt)
+        return params
 
     def pure_feature_fn(self):
         fn = getattr(self, "_pure_fn", None)
         if fn is None:
             intercept = self.fit_intercept
-
-            def fn(params, x, seq_len=None):
-                feats = rbf_feature_map(x * params["ard_weights"][None, :],
-                                        params["radem"], params["chi"],
-                                        intercept)
-                if intercept:
-                    feats = feats.at[:, 0].set(1.0)
-                return feats
+            padded = self.padded_dims
+            if self.use_dense_projection:
+                def fn(params, x, seq_len=None):
+                    feats = rbf_feature_map_dense(
+                        x * params["ard_weights"][None, :], params["proj"],
+                        intercept, padded)
+                    if intercept:
+                        feats = feats.at[:, 0].set(1.0)
+                    return feats
+            else:
+                def fn(params, x, seq_len=None):
+                    feats = rbf_feature_map(
+                        x * params["ard_weights"][None, :],
+                        params["radem"], params["chi"], intercept)
+                    if intercept:
+                        feats = feats.at[:, 0].set(1.0)
+                    return feats
             self._pure_fn = fn
         return fn
 

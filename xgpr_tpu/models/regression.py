@@ -54,7 +54,10 @@ class GPRegression(ModelBaseclass):
                 (xfeatures * weights[None, :]).sum(axis=1)))
             if get_var:
                 if self.exact_var_calculation:
-                    xf = xfeatures[:, :self.variance_rffs]
+                    var_idx = jnp.asarray(
+                        self.kernel.variance_column_indices(
+                            self.variance_rffs))
+                    xf = jnp.take(xfeatures, var_idx, axis=1)
                     pred_var = (jnp.asarray(self.var) @ xf.T).T
                 else:
                     xf = xfeatures

@@ -74,7 +74,12 @@ def mini_ard_grad(x: jnp.ndarray, weights: jnp.ndarray,
                         dtype=x.dtype)
     cosv = jnp.cos(rf_sum) * scale
     sinv = jnp.sin(rf_sum) * scale
-    feats = jnp.stack([cosv, sinv], axis=-1).reshape(n, 2 * num_freqs)
-    grad = jnp.stack([-sinv[:, :, None] * dots, cosv[:, :, None] * dots],
-                     axis=2).reshape(n, 2 * num_freqs, ngroups)
+    from .layout import assemble_cos_sin
+    padded = next_pow2(weights.shape[1])
+    feats = assemble_cos_sin(cosv, sinv, padded)
+    grads = []
+    for g in range(ngroups):
+        grads.append(assemble_cos_sin(-sinv * dots[:, :, g],
+                                      cosv * dots[:, :, g], padded))
+    grad = jnp.stack(grads, axis=-1)
     return feats, grad

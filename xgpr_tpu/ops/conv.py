@@ -56,7 +56,8 @@ def conv_rbf_features(x: jnp.ndarray, seq_lengths: jnp.ndarray,
                       radem: jnp.ndarray, chi: jnp.ndarray, sigma,
                       width: int, scaling_type: int = SCALING_NONE,
                       block_size: int = 32,
-                      with_grad: bool = False):
+                      with_grad: bool = False,
+                      proj: jnp.ndarray = None):
     """Accumulated cos/sin conv-SORF features (optionally with d/dsigma).
 
     Args:
@@ -97,9 +98,15 @@ def conv_rbf_features(x: jnp.ndarray, seq_lengths: jnp.ndarray,
 
     def step(carry, start):
         wins = _window_block(x_flat, start, blk, width, d)  # (N, blk, wD)
-        g = sorf_blocks(pad_rows(wins.reshape(n * blk, -1), radem.shape[-1]),
-                        radem)
-        g = g.reshape(n * blk, -1)[:, :num_freqs] * chi
+        if proj is not None:
+            # Dense MXU path: chi is folded into proj.
+            g = jnp.matmul(wins.reshape(n * blk, -1), proj,
+                           precision=jax.lax.Precision.HIGHEST)
+        else:
+            g = sorf_blocks(
+                pad_rows(wins.reshape(n * blk, -1), radem.shape[-1]),
+                radem)
+            g = g.reshape(n * blk, -1)[:, :num_freqs] * chi
         g = g.reshape(n, blk, num_freqs)
         arg = g * sigma
         # mask windows beyond this row's kmer count
@@ -132,19 +139,21 @@ def conv_rbf_features(x: jnp.ndarray, seq_lengths: jnp.ndarray,
     else:
         acc_f, _ = jax.lax.scan(step, (zeros, zeros), starts)
 
-    def interleave(a, b):
-        return jnp.stack([a, b], axis=-1).reshape(n, 2 * num_freqs)
-
-    feats = interleave(acc_f[0], acc_f[1]) * row_scale[:, None]
+    from .layout import assemble_cos_sin
+    padded = radem.shape[-1]
+    feats = assemble_cos_sin(acc_f[0], acc_f[1], padded) \
+        * row_scale[:, None]
     if with_grad:
-        grad = interleave(acc_g[0], acc_g[1]) * row_scale[:, None]
+        grad = assemble_cos_sin(acc_g[0], acc_g[1], padded) \
+            * row_scale[:, None]
         return feats, grad[:, :, None]
     return feats
 
 
 def conv_maxpool_features(x: jnp.ndarray, seq_lengths: jnp.ndarray,
                           radem: jnp.ndarray, chi: jnp.ndarray,
-                          width: int, block_size: int = 32) -> jnp.ndarray:
+                          width: int, block_size: int = 32,
+                          proj: jnp.ndarray = None) -> jnp.ndarray:
     """ReLU + global-maxpool conv SORF features.
 
     Matches cpuConv1dMaxpool (conv1d_operations.cpp:22-168): output starts at
@@ -170,9 +179,14 @@ def conv_maxpool_features(x: jnp.ndarray, seq_lengths: jnp.ndarray,
 
     def step(acc, start):
         wins = _window_block(x_flat, start, blk, width, d)
-        g = sorf_blocks(pad_rows(wins.reshape(n * blk, -1), radem.shape[-1]),
-                        radem)
-        g = g.reshape(n * blk, -1)[:, :num_freqs] * chi
+        if proj is not None:
+            g = jnp.matmul(wins.reshape(n * blk, -1), proj,
+                           precision=jax.lax.Precision.HIGHEST)
+        else:
+            g = sorf_blocks(
+                pad_rows(wins.reshape(n * blk, -1), radem.shape[-1]),
+                radem)
+            g = g.reshape(n * blk, -1)[:, :num_freqs] * chi
         g = g.reshape(n, blk, num_freqs)
         widx = start + jnp.arange(blk, dtype=jnp.int32)
         mask = widx[None, :] < nk[:, None]

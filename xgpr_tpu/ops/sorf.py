@@ -17,6 +17,7 @@ over blocks -> 3x (diag mult + factored-matmul FWHT) -> chi scale -> cos/sin.
 XLA fuses the elementwise stages into the matmuls.
 """
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .hadamard import fwht, next_pow2
@@ -69,15 +70,13 @@ def sorf_project(x: jnp.ndarray, radem: jnp.ndarray,
     return h.reshape(x.shape[0], -1)[:, :num_freqs]
 
 
-def interleave_cos_sin(arg: jnp.ndarray, scale) -> jnp.ndarray:
-    """Interleaved [cos f0, sin f0, cos f1, sin f1, ...] * scale.
-
-    Matches the reference's output layout (shared_rfgen_ops.cpp:104-113),
-    which matters because variance uses the *first* variance_rffs columns.
-    """
-    n, f = arg.shape
-    feats = jnp.stack([jnp.cos(arg), jnp.sin(arg)], axis=-1)
-    return feats.reshape(n, 2 * f) * jnp.asarray(scale, dtype=arg.dtype)
+def cos_sin_features(arg: jnp.ndarray, scale, padded: int) -> jnp.ndarray:
+    """[cos | sin] block-layout features * scale (see ops/layout.py --
+    a TPU-friendly permutation of the reference's interleaved layout,
+    shared_rfgen_ops.cpp:104-113)."""
+    from .layout import assemble_cos_sin
+    s = jnp.asarray(scale, dtype=arg.dtype)
+    return assemble_cos_sin(jnp.cos(arg) * s, jnp.sin(arg) * s, padded)
 
 
 def rbf_norm_constant(num_freqs: int, fit_intercept: bool) -> float:
@@ -101,7 +100,7 @@ def rbf_feature_map(x: jnp.ndarray, radem: jnp.ndarray, chi: jnp.ndarray,
     h = sorf_project(x, radem, num_freqs)
     arg = h * chi
     scale = rbf_norm_constant(num_freqs, fit_intercept)
-    return interleave_cos_sin(arg, scale)
+    return cos_sin_features(arg, scale, radem.shape[-1])
 
 
 def rbf_feature_map_grad(x: jnp.ndarray, radem: jnp.ndarray,
@@ -117,16 +116,67 @@ def rbf_feature_map_grad(x: jnp.ndarray, radem: jnp.ndarray,
         feats: (N, 2F) features.
         dz_dsigma: (N, 2F, 1) derivative w.r.t. sigma.
     """
+    from .layout import assemble_cos_sin
     num_freqs = chi.shape[0]
+    padded = radem.shape[-1]
     g = sorf_project(x, radem, num_freqs) * chi
     arg = g * jnp.asarray(sigma, dtype=x.dtype)
     scale = np.asarray(rbf_norm_constant(num_freqs, fit_intercept),
                        dtype=x.dtype)
     cosv = jnp.cos(arg) * scale
     sinv = jnp.sin(arg) * scale
-    n = x.shape[0]
-    feats = jnp.stack([cosv, sinv], axis=-1).reshape(n, 2 * num_freqs)
-    grad = jnp.stack([-sinv * g, cosv * g], axis=-1).reshape(n, 2 * num_freqs)
+    feats = assemble_cos_sin(cosv, sinv, padded)
+    grad = assemble_cos_sin(-sinv * g, cosv * g, padded)
+    return feats, grad[:, :, None]
+
+
+def dense_sorf_projection(radem: jnp.ndarray, chi: jnp.ndarray,
+                          input_dim: int) -> jnp.ndarray:
+    """Materialise the SORF projection as a dense (input_dim, F) matrix.
+
+    W[:, j] is the j-th SORF frequency restricted to the first input_dim
+    coordinates, with chi folded in: SORF(x) * chi == x @ W exactly.
+
+    Rationale (TPU): the factored FWHT decomposes into tiny (<=128) matmuls
+    that leave the 128x128 MXU nearly idle; for moderate dims a single
+    dense matmul is mathematically identical and runs at high MXU
+    utilisation.  The structured path remains for large padded dims where
+    the dense matrix would not fit.
+    """
+    from .ard import precompute_sorf_weights
+    w = precompute_sorf_weights(radem, chi, input_dim)  # (F, D), chi folded
+    return w.T
+
+
+def dense_threshold_ok(input_dim: int, num_freqs: int,
+                       max_elements: int = 32 * 1024 * 1024) -> bool:
+    """Use the dense projection when the matrix stays modest."""
+    return input_dim * num_freqs <= max_elements
+
+
+def rbf_feature_map_dense(x: jnp.ndarray, proj: jnp.ndarray,
+                          fit_intercept: bool, padded: int) -> jnp.ndarray:
+    """RBF features via the dense projection; x must be pre-scaled by
+    sigma.  Output layout identical to rbf_feature_map."""
+    num_freqs = proj.shape[1]
+    arg = jnp.matmul(x, proj, precision=jax.lax.Precision.HIGHEST)
+    scale = rbf_norm_constant(num_freqs, fit_intercept)
+    return cos_sin_features(arg, scale, padded)
+
+
+def rbf_feature_map_dense_grad(x: jnp.ndarray, proj: jnp.ndarray, sigma,
+                               fit_intercept: bool, padded: int):
+    """Dense-projection analogue of rbf_feature_map_grad."""
+    from .layout import assemble_cos_sin
+    num_freqs = proj.shape[1]
+    g = jnp.matmul(x, proj, precision=jax.lax.Precision.HIGHEST)
+    arg = g * jnp.asarray(sigma, dtype=x.dtype)
+    scale = np.asarray(rbf_norm_constant(num_freqs, fit_intercept),
+                       dtype=x.dtype)
+    cosv = jnp.cos(arg) * scale
+    sinv = jnp.sin(arg) * scale
+    feats = assemble_cos_sin(cosv, sinv, padded)
+    grad = assemble_cos_sin(-sinv * g, cosv * g, padded)
     return feats, grad[:, :, None]
 
 

@@ -201,12 +201,15 @@ class ShardedEngine:
 
     def var_design_mat(self, variance_rffs):
         feat = self._feat
+        idx_np = self.kernel.variance_column_indices(variance_rffs)
 
         def build():
+            idx = jnp.asarray(idx_np)
+
             def local(params, x, l, m):
                 def body(acc, batch):
                     xb, lb, mb = batch
-                    z = feat(params, xb, lb, mb)[:, :variance_rffs]
+                    z = jnp.take(feat(params, xb, lb, mb), idx, axis=1)
                     return acc + _mm(z.T, z), None
                 init = jnp.zeros((variance_rffs, variance_rffs),
                                  dtype=x.dtype)
