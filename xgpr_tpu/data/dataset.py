@@ -142,16 +142,29 @@ class OfflineDataset(DatasetBaseclass):
         else:
             self._sequence_lengths = None
 
+    def _x_stream(self):
+        """Prefer the native prefetching loader (xgpr_tpu/native) so disk
+        IO + decode of chunk i+1 overlaps compute on chunk i; fall back to
+        plain np.load."""
+        try:
+            from ..native import NativeNpyStream, native_available
+            if native_available():
+                return NativeNpyStream(self._xfiles,
+                                       trailing_shape=self._xdim[1:])
+        except Exception:
+            pass
+        return (np.load(f) for f in self._xfiles)
+
     def get_chunked_data(self):
         lfiles = self._sequence_lengths or [None] * len(self._xfiles)
-        for xfile, yfile, lfile in zip(self._xfiles, self._yfiles, lfiles):
-            xchunk = np.load(xfile)
+        for xchunk, yfile, lfile in zip(self._x_stream(), self._yfiles,
+                                        lfiles):
             ychunk = self._normalize_y(np.load(yfile))
             lchunk = np.load(lfile) if lfile is not None else None
             yield xchunk, ychunk, lchunk
 
     def get_chunked_x_data(self):
         lfiles = self._sequence_lengths or [None] * len(self._xfiles)
-        for xfile, lfile in zip(self._xfiles, lfiles):
+        for xchunk, lfile in zip(self._x_stream(), lfiles):
             lchunk = np.load(lfile) if lfile is not None else None
-            yield np.load(xfile), lchunk
+            yield xchunk, lchunk
