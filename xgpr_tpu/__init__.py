@@ -32,4 +32,13 @@ def __getattr__(name):
                 "build_offline_np_dataset"):
         from .data import builders
         return getattr(builders, name)
+    if name == "DatasetBaseclass":
+        from .data.dataset import DatasetBaseclass
+        return DatasetBaseclass
+    if name in ("KernelPCA", "KernelKMeans"):
+        from .models import clustering
+        return getattr(clustering, name)
+    if name in ("save_model", "load_model"):
+        from .models import serialization
+        return getattr(serialization, name)
     raise AttributeError(f"module 'xgpr_tpu' has no attribute {name!r}")

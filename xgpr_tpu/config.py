@@ -35,3 +35,31 @@ def acc_dtype():
 
 def default_backend() -> str:
     return jax.default_backend()
+
+
+# ----------------------------------------------------------------------
+# Engine selection: "auto" uses the sharded (shard_map + psum) engine when
+# more than one accelerator device is visible; "single" always uses the
+# single-device engine; "sharded" forces the sharded engine (useful for
+# testing multi-device paths on a virtual CPU mesh).
+_ENGINE_MODE = "auto"
+
+
+def set_engine_mode(mode: str):
+    global _ENGINE_MODE
+    if mode not in ("auto", "single", "sharded"):
+        raise ValueError("engine mode must be auto, single or sharded")
+    _ENGINE_MODE = mode
+
+
+def engine_mode() -> str:
+    return _ENGINE_MODE
+
+
+def should_shard() -> bool:
+    if _ENGINE_MODE == "sharded":
+        return len(jax.devices()) > 1
+    if _ENGINE_MODE == "single":
+        return False
+    accel = [d for d in jax.devices() if d.platform != "cpu"]
+    return len(accel) > 1

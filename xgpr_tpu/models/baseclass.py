@@ -47,11 +47,24 @@ class ModelBaseclass:
     # ------------------------------------------------------------------
     def _engine(self, dataset):
         """Cached Engine per (dataset, kernel) pair; hyperparameters flow
-        through feature_params at reduction time so reuse is safe."""
+        through feature_params at reduction time so reuse is safe.  When
+        multiple accelerator devices are visible (config.should_shard),
+        the sharded shard_map+psum engine is used transparently."""
+        from .. import config as _config
         key = (id(dataset), id(self.kernel))
         engine = self._engines.get(key)
         if engine is None:
-            engine = Engine(self.kernel, dataset)
+            import numpy as _np
+            from ..fitting.engine import _STACKED_ELEMENT_LIMIT
+            import jax as _jax
+            n_elements = int(_np.prod(dataset.get_xdim()))
+            fits = n_elements < _STACKED_ELEMENT_LIMIT * max(
+                1, len(_jax.devices()))
+            if _config.should_shard() and fits:
+                from ..parallel.sharded import ShardedEngine
+                engine = ShardedEngine(self.kernel, dataset)
+            else:
+                engine = Engine(self.kernel, dataset)
             self._engines = {key: engine}  # keep at most one
         return engine
 

@@ -283,6 +283,13 @@ class ShardedEngine:
             return acc, zty, float(yty)
         return out
 
+    def gradient_terms(self, subsample=1.0, seed=123):
+        """NMLL-gradient accumulation is small-M work used only by the
+        exact tuner; delegate to the single-device streaming engine."""
+        from ..fitting.engine import Engine
+        return Engine(self.kernel, self.dataset,
+                      mode="streaming").gradient_terms(subsample, seed)
+
     def classification_loss_grad(self, wvec, lambda_):
         """SPMD softmax CE loss + grad (classification over the mesh)."""
         feat = self._feat
