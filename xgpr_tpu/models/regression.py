@@ -191,27 +191,35 @@ class GPRegression(ModelBaseclass):
             autoselect_target_ratio=30., always_use_srht2=False,
             run_diagnostics=False):
         """Fit the model (xgp_regression.py:381-486)."""
+        from ..utils.diagnostics import PhaseTimes, phase_timer, block
         self._run_pre_fitting_prep(dataset)
         self.weights, self.var = None, None
         self.exact_var_calculation = True
         if self.verbose:
             print("starting fitting")
-        engine = self._engine(dataset)
+        times = PhaseTimes()
+        with phase_timer(times, "engine_build"):
+            engine = self._engine(dataset)
 
         if mode == "exact":
             if self.kernel.get_num_rffs() > constants.MAX_CLOSED_FORM_RFFS:
                 raise RuntimeError(
                     "You specified 'exact' fitting, but the number of rffs "
                     f"is > {constants.MAX_CLOSED_FORM_RFFS}.")
-            self.weights, n_iter, losses = calc_weights_exact(engine)
+            with phase_timer(times, "exact_solve"):
+                self.weights, n_iter, losses = calc_weights_exact(engine)
+                block(self.weights)
         elif mode == "cg":
             if preconditioner is None:
-                preconditioner = self._autoselect_preconditioner(
-                    dataset, min_rank=min_rank, max_rank=max_rank,
-                    ratio_target=autoselect_target_ratio,
-                    always_use_srht2=always_use_srht2)
-            self.weights, n_iter, losses = cg_fit(
-                engine, preconditioner, tol, max_iter, self.verbose)
+                with phase_timer(times, "preconditioner"):
+                    preconditioner = self._autoselect_preconditioner(
+                        dataset, min_rank=min_rank, max_rank=max_rank,
+                        ratio_target=autoselect_target_ratio,
+                        always_use_srht2=always_use_srht2)
+            with phase_timer(times, "cg"):
+                self.weights, n_iter, losses = cg_fit(
+                    engine, preconditioner, tol, max_iter, self.verbose)
+                block(self.weights)
         else:
             raise RuntimeError("Unrecognized fitting mode supplied. Must "
                                "provide one of 'cg', 'exact'.")
@@ -219,16 +227,21 @@ class GPRegression(ModelBaseclass):
         if not suppress_var:
             if self.verbose:
                 print("Now performing variance calculations...")
-            if "Linear" in self.kernel_choice:
-                self.var = NystromPreconditioner(
-                    engine, self.variance_rffs, False, self.random_seed,
-                    "srht")
-                self.exact_var_calculation = False
-            else:
-                self.var = calc_variance_exact(engine, self.variance_rffs)
+            with phase_timer(times, "variance"):
+                if "Linear" in self.kernel_choice:
+                    self.var = NystromPreconditioner(
+                        engine, self.variance_rffs, False,
+                        self.random_seed, "srht")
+                    self.exact_var_calculation = False
+                else:
+                    self.var = calc_variance_exact(engine,
+                                                   self.variance_rffs)
+                    block(self.var)
 
+        self.fit_phase_times = times
         if self.verbose:
             print("Fitting complete.")
+            print(times.report())
         if run_diagnostics:
             return n_iter, losses
 
