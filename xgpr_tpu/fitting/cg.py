@@ -27,6 +27,22 @@ class ConjugateGrad:
         prod = self.engine.ztzv(vec)
         return prod + (lambda_ ** 2) * vec
 
+    def _fused_solver(self, preconditioner):
+        """Pick the single-dispatch while_loop solver when the engine's
+        data is device-resident; the Python loop remains for streaming
+        engines and exotic preconditioners."""
+        if preconditioner is not None and \
+                not hasattr(preconditioner, "u_mat"):
+            return None
+        from ..parallel.sharded import ShardedEngine
+        from .fused_cg import (fused_cg_solve_stacked,
+                               fused_cg_solve_sharded)
+        if isinstance(self.engine, ShardedEngine):
+            return fused_cg_solve_sharded
+        if getattr(self.engine, "_stacked", None) is not None:
+            return fused_cg_solve_stacked
+        return None
+
     def fit(self, rhs, lambda_, preconditioner=None, maxiter=200, tol=1e-4,
             verbose=True, nmll_settings=False):
         """Solve (Z^T Z + lambda^2) x = rhs for each RHS column.
@@ -42,6 +58,19 @@ class ConjugateGrad:
         Returns:
             (x, converged, niter, losses) or (x, alphas, betas).
         """
+        fused = self._fused_solver(preconditioner)
+        if fused is not None:
+            x_k, done, niter, alphas, betas, errs = fused(
+                self.engine, jnp.asarray(rhs), lambda_, preconditioner,
+                maxiter, tol)
+            niter = int(niter)
+            if nmll_settings:
+                a = np.asarray(alphas)[:niter]
+                b = np.asarray(betas)[:niter]
+                return x_k, a[:, 1:], b[:, 1:]
+            losses = list(np.asarray(errs)[:niter])
+            return x_k, bool(done), niter, losses
+
         resid = jnp.asarray(rhs)
         init_norms = jnp.linalg.norm(resid, axis=0)
         x_k = jnp.zeros_like(resid)

@@ -1,0 +1,191 @@
+"""Fully-fused preconditioned CG: the whole solver as ONE device program.
+
+The reference's CG is a Python loop whose every iteration re-streams the
+dataset and issues many small array ops (cg_tools.py:57-156).  Here the
+complete batched-RHS PCG -- matvec scan, preconditioner application,
+alpha/beta updates, convergence test -- compiles into a single
+``lax.while_loop``, so a fit is one dispatch regardless of iteration
+count.  On meshes the same loop runs inside ``shard_map``: data stays
+sharded, vector iterates are computed replicated, and the matvec partials
+are psum'd each iteration.
+
+SLQ support: per-iteration (alpha, beta) pairs land in preallocated
+(max_iter, K) buffers via dynamic_update_slice, then are trimmed on host.
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_PREC)
+
+
+def _precond_mv(u_mat, inv_eig, prefactor, v):
+    xp = _mm(u_mat.T, v)
+    return (v - _mm(u_mat, xp)) + _mm(u_mat,
+                                      inv_eig[:, None] * prefactor * xp)
+
+
+def _cg_while(matvec, precond, rhs, lam, max_iter, tol):
+    """Shared PCG while_loop body; matvec/precond are traced callables."""
+    m, k = rhs.shape
+    init_norms = jnp.linalg.norm(rhs, axis=0)
+    z0 = precond(rhs)
+    rz0 = jnp.sum(rhs * z0, axis=0)
+
+    state = {
+        "x": jnp.zeros_like(rhs),
+        "r": rhs,
+        "z": z0,
+        "p": z0,
+        "rz": rz0,
+        "niter": jnp.zeros((), jnp.int32),
+        "done": jnp.zeros((), jnp.bool_),
+        "alphas": jnp.zeros((max_iter, k), rhs.dtype),
+        "betas": jnp.zeros((max_iter, k), rhs.dtype),
+        "errs": jnp.zeros((max_iter,), rhs.dtype),
+    }
+
+    def cond(s):
+        return jnp.logical_and(~s["done"], s["niter"] < max_iter)
+
+    def body(s):
+        w = matvec(s["p"]) + (lam ** 2) * s["p"]
+        alpha = s["rz"] / jnp.sum(s["p"] * w, axis=0)
+        x = s["x"] + alpha[None, :] * s["p"]
+        r = s["r"] - alpha[None, :] * w
+        err = jnp.linalg.norm(r, axis=0) / init_norms
+        z = precond(r)
+        rz_next = jnp.sum(r * z, axis=0)
+        beta = rz_next / s["rz"]
+        p = z + beta[None, :] * s["p"]
+        i = s["niter"]
+        return {
+            "x": x, "r": r, "z": z, "p": p, "rz": rz_next,
+            "niter": i + 1,
+            "done": jnp.max(err) < tol,
+            "alphas": jax.lax.dynamic_update_slice(
+                s["alphas"], alpha[None, :], (i, jnp.int32(0))),
+            "betas": jax.lax.dynamic_update_slice(
+                s["betas"], beta[None, :], (i, jnp.int32(0))),
+            "errs": jax.lax.dynamic_update_slice(
+                s["errs"], err[:1], (i,)),
+        }
+
+    out = jax.lax.while_loop(cond, body, state)
+    return (out["x"], out["done"], out["niter"], out["alphas"],
+            out["betas"], out["errs"])
+
+
+# ----------------------------------------------------------------------
+# single-device (stacked Engine)
+def fused_cg_solve_stacked(engine, rhs, lam, precond=None, max_iter=200,
+                           tol=1e-4):
+    feature_fn = engine.fn
+    num_rffs = engine.num_rffs
+    s = engine._stacked
+    has_l = s["l"] is not None
+
+    def build():
+        @partial(jax.jit, static_argnames=("max_iter",))
+        def run(params, x, l, m, rhs, lam, u_mat, inv_eig, prefactor,
+                tol, max_iter):
+            def matvec(v):
+                def body(acc, batch):
+                    if has_l:
+                        xb, lb, mb = batch
+                    else:
+                        xb, mb = batch
+                        lb = None
+                    z = feature_fn(params, xb, lb) * mb[:, None]
+                    return acc + _mm(z.T, _mm(z, v)), None
+                init = jnp.zeros((num_rffs, v.shape[-1]), v.dtype)
+                xs = (x, l, m) if has_l else (x, m)
+                acc, _ = jax.lax.scan(body, init, xs)
+                return acc
+
+            if u_mat is None:
+                precond_fn = lambda v: v
+            else:
+                precond_fn = partial(_precond_mv, u_mat, inv_eig,
+                                     prefactor)
+            return _cg_while(matvec, precond_fn, rhs, lam, max_iter, tol)
+        return run
+
+    run = engine._get_jit("fused_cg", build)
+    if precond is None:
+        u_mat, inv_eig, prefactor = None, None, None
+    else:
+        u_mat = precond.u_mat
+        inv_eig = precond.inv_eig
+        prefactor = jnp.asarray(precond.prefactor, rhs.dtype)
+    rhs = jnp.asarray(rhs)
+    return run(engine._params(), s["x"], s["l"], s["m"], rhs,
+               jnp.asarray(lam, rhs.dtype), u_mat, inv_eig, prefactor,
+               jnp.asarray(tol, rhs.dtype), max_iter=max_iter)
+
+
+# ----------------------------------------------------------------------
+# multi-device (ShardedEngine): the whole loop runs inside shard_map.
+def fused_cg_solve_sharded(engine, rhs, lam, precond=None, max_iter=200,
+                           tol=1e-4):
+    from .engine import Engine  # noqa: F401 (doc cross-ref)
+    from ..parallel.mesh import DATA_AXIS
+    feature_fn = engine.fn
+    num_rffs = engine.num_rffs
+
+    def build():
+        mi = max_iter
+
+        def local(params, x, l, m, rhs, lam, u_mat, inv_eig, prefactor,
+                  tol):
+            def matvec(v):
+                def body(acc, batch):
+                    xb, lb, mb = batch
+                    z = feature_fn(params, xb, lb) * mb[:, None]
+                    return acc + _mm(z.T, _mm(z, v)), None
+                init = jnp.zeros((num_rffs, v.shape[-1]), v.dtype)
+                acc, _ = jax.lax.scan(body, init, (x, l, m))
+                return jax.lax.psum(acc, DATA_AXIS)
+
+            if u_mat is None:
+                precond_fn = lambda v: v
+            else:
+                precond_fn = partial(_precond_mv, u_mat, inv_eig,
+                                     prefactor)
+            return _cg_while(matvec, precond_fn, rhs, lam, mi, tol)
+
+        data_specs = (P(DATA_AXIS),) * 3
+        rep = (P(),) * 6
+        fn = shard_map(local, mesh=engine.mesh, check_vma=False,
+                       in_specs=(P(),) + data_specs + rep,
+                       out_specs=(P(),) * 6)
+        return jax.jit(fn)
+
+    # max_iter is baked into the shard_map closure; the jit cache is keyed
+    # on it so different limits compile separately.
+    run = engine._get_jit(f"fused_cg_{max_iter}", build)
+
+    if precond is None:
+        # shard_map in_specs are positional; pass dummy zero arrays and a
+        # sentinel prefactor < 0 meaning "no preconditioner".
+        u_mat = jnp.zeros((num_rffs, 1), rhs.dtype)
+        inv_eig = jnp.zeros((1,), rhs.dtype)
+        prefactor = jnp.asarray(0.0, rhs.dtype)
+    else:
+        u_mat = precond.u_mat
+        inv_eig = precond.inv_eig
+        prefactor = jnp.asarray(precond.prefactor, rhs.dtype)
+    if precond is None:
+        # Zero u_mat makes _precond_mv the identity: v - U(U^T v) + ... = v.
+        pass
+    return run(engine._params(), engine._x, engine._l, engine._m,
+               jnp.asarray(rhs), jnp.asarray(lam, rhs.dtype), u_mat,
+               inv_eig, prefactor, jnp.asarray(tol, rhs.dtype))
