@@ -61,7 +61,8 @@ def main():
     model = GPRegression(num_rffs=args.num_rffs, variance_rffs=512,
                          kernel_choice=kernel, kernel_settings=settings,
                          verbose=True)
-    model.set_hyperparams(np.log(np.array([0.15, 0.5])), data)
+    sigma0 = 1.0 / np.sqrt(args.dim)
+    model.set_hyperparams(np.log(np.array([0.15, sigma0])), data)
 
     t0 = time.time()
     precond, ratio = model.build_preconditioner(

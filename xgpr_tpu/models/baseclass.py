@@ -234,6 +234,24 @@ class ModelBaseclass:
     # ------------------------------------------------------------------
     # properties with weight invalidation
     @property
+    def kernel_spec_parms(self):
+        return self._kernel_spec_parms
+
+    @kernel_spec_parms.setter
+    def kernel_spec_parms(self, value):
+        """Changing kernel settings invalidates the kernel and weights
+        (model_baseclass.py:523-539)."""
+        if not isinstance(value, dict):
+            raise RuntimeError("Tried to set kernel_spec_parms to "
+                               "something that was not a dict!")
+        self._kernel_spec_parms = value
+        self.kernel = None
+        self.weights = None
+        self.gamma = None
+        self.var = None
+        self._engines = {}
+
+    @property
     def kernel_choice(self):
         return self._kernel_choice
 
