@@ -88,6 +88,15 @@ class ConvKernelBaseclass(KernelBaseclass):
                 "sequence_length is required for convolution kernels.")
         if input_x.shape[2] != self._xdim[2]:
             raise RuntimeError("Unexpected input shape supplied.")
+        # Reference contract (rbf_convolution.cpp:79-84): all lengths must
+        # be >= conv_width and <= the sequence axis.
+        import numpy as _np
+        slen = _np.asarray(sequence_length)
+        if slen.size and (int(slen.min()) < self.conv_width or
+                          int(slen.max()) > input_x.shape[1]):
+            raise RuntimeError(
+                "All sequence lengths must be >= conv_width and <= the "
+                "size of the sequence axis.")
 
     def kernel_specific_transform(self, input_x, sequence_length=None):
         self._require_lengths(input_x, sequence_length)

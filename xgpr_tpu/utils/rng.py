@@ -68,3 +68,13 @@ def normal_probes(seed: int, num_rffs: int, nsamples: int,
     (probe_generators.py:9-31)."""
     rng = np.random.default_rng(seed)
     return rng.standard_normal(size=(num_rffs, nsamples)).astype(dtype)
+
+
+def rademacher_probes(seed: int, num_rffs: int, nsamples: int,
+                      dtype=np.float64) -> np.ndarray:
+    """Unit-normalised Rademacher probes (probe_generators.py:34-51)."""
+    rng = np.random.default_rng(seed)
+    probes = rng.choice(np.asarray([-1.0, 1.0]),
+                        size=(num_rffs, nsamples), replace=True)
+    probes /= np.linalg.norm(probes, axis=0)[None, :]
+    return probes.astype(dtype)
