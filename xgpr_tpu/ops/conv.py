@@ -52,6 +52,23 @@ def _num_kmers(seq_lengths: jnp.ndarray, width: int) -> jnp.ndarray:
     return seq_lengths.astype(jnp.int32) - width + 1
 
 
+def _conv_project(x_flat: jnp.ndarray, start: jnp.ndarray, blk: int,
+                  width: int, d: int, proj: jnp.ndarray) -> jnp.ndarray:
+    """Project windows [start, start+blk) through proj as a VALID 1-d
+    convolution: out[n, j, f] = sum_{t, c} x[n, start+j+t, c] *
+    proj[t*d + c, f]."""
+    n = x_flat.shape[0]
+    span = (blk + width - 1) * d
+    base = jax.lax.dynamic_slice(x_flat, (jnp.zeros((), jnp.int32),
+                                          start * d), (n, span))
+    base = base.reshape(n, blk + width - 1, d)
+    kernel = proj.reshape(width, d, proj.shape[1])
+    return jax.lax.conv_general_dilated(
+        base, kernel, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def conv_rbf_features(x: jnp.ndarray, seq_lengths: jnp.ndarray,
                       radem: jnp.ndarray, chi: jnp.ndarray, sigma,
                       width: int, scaling_type: int = SCALING_NONE,
@@ -97,17 +114,19 @@ def conv_rbf_features(x: jnp.ndarray, seq_lengths: jnp.ndarray,
         row_scale = jnp.full((n,), base_scale, dtype=dtype)
 
     def step(carry, start):
-        wins = _window_block(x_flat, start, blk, width, d)  # (N, blk, wD)
         if proj is not None:
-            # Dense MXU path: chi is folded into proj.
-            g = jnp.matmul(wins.reshape(n * blk, -1), proj,
-                           precision=jax.lax.Precision.HIGHEST)
+            # TPU-native path: the k-mer projection IS a 1-d convolution
+            # over the sequence axis with kernel proj reshaped to
+            # (width, D, F) -- XLA lowers it onto the MXU with no window
+            # materialisation.  chi is folded into proj.
+            g = _conv_project(x_flat, start, blk, width, d, proj)
         else:
+            wins = _window_block(x_flat, start, blk, width, d)
             g = sorf_blocks(
                 pad_rows(wins.reshape(n * blk, -1), radem.shape[-1]),
                 radem)
             g = g.reshape(n * blk, -1)[:, :num_freqs] * chi
-        g = g.reshape(n, blk, num_freqs)
+            g = g.reshape(n, blk, num_freqs)
         arg = g * sigma
         # mask windows beyond this row's kmer count
         widx = start + jnp.arange(blk, dtype=jnp.int32)
@@ -178,16 +197,15 @@ def conv_maxpool_features(x: jnp.ndarray, seq_lengths: jnp.ndarray,
     neg_inf = jnp.asarray(-np.inf, dtype=dtype)
 
     def step(acc, start):
-        wins = _window_block(x_flat, start, blk, width, d)
         if proj is not None:
-            g = jnp.matmul(wins.reshape(n * blk, -1), proj,
-                           precision=jax.lax.Precision.HIGHEST)
+            g = _conv_project(x_flat, start, blk, width, d, proj)
         else:
+            wins = _window_block(x_flat, start, blk, width, d)
             g = sorf_blocks(
                 pad_rows(wins.reshape(n * blk, -1), radem.shape[-1]),
                 radem)
             g = g.reshape(n * blk, -1)[:, :num_freqs] * chi
-        g = g.reshape(n, blk, num_freqs)
+            g = g.reshape(n, blk, num_freqs)
         widx = start + jnp.arange(blk, dtype=jnp.int32)
         mask = widx[None, :] < nk[:, None]
         g = jnp.where(mask[:, :, None], g, neg_inf)
