@@ -6,8 +6,10 @@ exact & approximate (SLQ) NMLL, exact NMLL gradient, exact / CG fitting and
 the crude + scipy.optimize tuning entry points.
 """
 import warnings
+from functools import partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from scipy.optimize import minimize
 
@@ -36,6 +38,31 @@ class GPRegression(ModelBaseclass):
                          verbose=verbose, random_seed=random_seed)
 
     # ------------------------------------------------------------------
+    def _predict_step_fn(self):
+        """One fused jit program per chunk: features -> mean (-> variance)."""
+        cached = getattr(self, "_predict_step", None)
+        if cached is not None and cached[0] == id(self.kernel):
+            return cached[1]
+        fn = None
+        if fn is None:
+            feature_fn = self.kernel.pure_feature_fn()
+
+            @partial(jax.jit, static_argnames=("get_var",))
+            def step(params, x, slen, weights, var_mat, var_idx, lam2,
+                     get_var):
+                z = feature_fn(params, x, slen)
+                mean = z @ weights
+                if not get_var:
+                    return mean, None
+                zv = jnp.take(z, var_idx, axis=1)
+                pv = jnp.matmul(var_mat, zv.T,
+                                precision=jax.lax.Precision.HIGHEST).T
+                pred_var = lam2 + lam2 * jnp.sum(zv * pv, axis=1)
+                return mean, pred_var
+            self._predict_step = (id(self.kernel), step)
+            fn = step
+        return fn
+
     def predict(self, input_x, sequence_lengths=None, get_var=False,
                 chunk_size=2000):
         """Posterior mean (and optionally variance) for new datapoints
@@ -44,26 +71,41 @@ class GPRegression(ModelBaseclass):
         preds, var = [], []
         lambda_ = self.kernel.get_lambda()
         weights = jnp.asarray(self.weights)
+        params = self.kernel.feature_params()
+        dtype = weights.dtype
+
+        use_fused = self.exact_var_calculation or not get_var
+        step = self._predict_step_fn() if use_fused else None
+        if use_fused and get_var:
+            var_mat = jnp.asarray(self.var, dtype=dtype)
+            var_idx = jnp.asarray(self.kernel.variance_column_indices(
+                self.variance_rffs))
+        else:
+            var_mat = jnp.zeros((1, 1), dtype)
+            var_idx = jnp.zeros((1,), jnp.int64 if var_mat.dtype ==
+                                jnp.float64 else jnp.int32)
+        lam2 = jnp.asarray(lambda_ ** 2, dtype)
 
         for i in range(0, input_x.shape[0], chunk_size):
             cut = min(i + chunk_size, input_x.shape[0])
             slen = None if sequence_lengths is None \
-                else sequence_lengths[i:cut]
-            xfeatures = self.kernel.transform_x(input_x[i:cut, ...], slen)
-            preds.append(np.asarray(
-                (xfeatures * weights[None, :]).sum(axis=1)))
-            if get_var:
-                if self.exact_var_calculation:
-                    var_idx = jnp.asarray(
-                        self.kernel.variance_column_indices(
-                            self.variance_rffs))
-                    xf = jnp.take(xfeatures, var_idx, axis=1)
-                    pred_var = (jnp.asarray(self.var) @ xf.T).T
-                else:
-                    xf = xfeatures
-                    pred_var = self.var.batch_matvec(xf.T).T
+                else jnp.asarray(sequence_lengths[i:cut], jnp.int32)
+            xc = self.kernel._cast_input(input_x[i:cut, ...])
+            if use_fused:
+                mean, pred_var = step(params, xc, slen, weights, var_mat,
+                                      var_idx, lam2, get_var)
+                preds.append(np.asarray(mean))
+                if get_var:
+                    var.append(np.asarray(pred_var))
+            else:
+                # Nystrom-variance path (Linear kernels): preconditioner
+                # object applies outside jit.
+                xfeatures = self.kernel.transform_x(input_x[i:cut, ...],
+                                                    None)
+                preds.append(np.asarray(xfeatures @ weights))
+                pred_var = self.var.batch_matvec(xfeatures.T).T
                 pred_var = lambda_ ** 2 + lambda_ ** 2 * \
-                    (xf * pred_var).sum(axis=1)
+                    jnp.sum(xfeatures * pred_var, axis=1)
                 var.append(np.asarray(pred_var))
 
         preds = np.concatenate(preds)
