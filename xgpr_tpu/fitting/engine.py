@@ -158,6 +158,36 @@ class Engine:
     def design_mat(self):
         """(Z^T Z, Z^T y, y^T y) in one pass (exact_nmll_calcs.py:42-78)."""
         feat = self._features
+        m = self.num_rffs
+
+        if self.mode == "stacked":
+            def build():
+                @jax.jit
+                def run(params, x, l, m_mask, y):
+                    def body(carry, batch):
+                        if l is None:
+                            xb, mb, yb = batch
+                            lb = None
+                        else:
+                            xb, lb, mb, yb = batch
+                        z = feat(params, xb, lb, mb)
+                        ym = yb * mb
+                        ztz, zty, yty = carry
+                        return (ztz + _mm(z.T, z),
+                                zty + _mm(z.T, ym[:, None])[:, 0],
+                                yty + ym @ ym), None
+                    init = (jnp.zeros((m, m), x.dtype),
+                            jnp.zeros((m,), x.dtype),
+                            jnp.zeros((), x.dtype))
+                    xs = (x, m_mask, y) if l is None else (x, l, m_mask, y)
+                    out, _ = jax.lax.scan(body, init, xs)
+                    return out
+                return run
+            run = self._get_jit("design_mat_stacked", build)
+            s = self._stacked
+            ztz, zty, yty = run(self._params(), s["x"], s["l"], s["m"],
+                                s["y"])
+            return ztz, zty, float(yty)
 
         def build():
             @jax.jit
@@ -167,7 +197,6 @@ class Engine:
                 return _mm(z.T, z), _mm(z.T, ym[:, None])[:, 0], ym @ ym
             return run
         run = self._get_jit("design_mat", build)
-        m = self.num_rffs
         ztz = jnp.zeros((m, m), dtype=self._dtype)
         zty = jnp.zeros((m,), dtype=self._dtype)
         yty = jnp.zeros((), dtype=self._dtype)
@@ -180,6 +209,32 @@ class Engine:
     def zty(self):
         """(Z^T y, y^T y) (exact_nmll_calcs.py:13-39)."""
         feat = self._features
+
+        if self.mode == "stacked":
+            def build():
+                @jax.jit
+                def run(params, x, l, m_mask, y):
+                    def body(carry, batch):
+                        if l is None:
+                            xb, mb, yb = batch
+                            lb = None
+                        else:
+                            xb, lb, mb, yb = batch
+                        z = feat(params, xb, lb, mb)
+                        ym = yb * mb
+                        zty, yty = carry
+                        return (zty + _mm(z.T, ym[:, None])[:, 0],
+                                yty + ym @ ym), None
+                    init = (jnp.zeros((self.num_rffs,), x.dtype),
+                            jnp.zeros((), x.dtype))
+                    xs = (x, m_mask, y) if l is None else (x, l, m_mask, y)
+                    out, _ = jax.lax.scan(body, init, xs)
+                    return out
+                return run
+            run = self._get_jit("zty_stacked", build)
+            s = self._stacked
+            zty, yty = run(self._params(), s["x"], s["l"], s["m"], s["y"])
+            return zty, float(yty)
 
         def build():
             @jax.jit
