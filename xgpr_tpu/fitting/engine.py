@@ -332,22 +332,50 @@ class Engine:
         (nonlinear_cg_toolkit.py:231-275)."""
         feat = self._features
 
+        def batch_loss_grad(params, xb, lb, mb, yb, w):
+            z = feat(params, xb, lb, mb)
+            pred = _mm(z, w)
+            pred = pred - jnp.max(pred, axis=1, keepdims=True)
+            p = jnp.exp(pred)
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+            logp = jnp.log(jnp.clip(p, min=1e-16))
+            picked = jnp.take_along_axis(logp, yb[:, None], axis=1)[:, 0]
+            loss = -jnp.sum(picked * mb)
+            onehot = jax.nn.one_hot(yb, w.shape[1], dtype=z.dtype)
+            grad = _mm(z.T, (p - onehot) * mb[:, None])
+            return loss, grad
+
+        if self.mode == "stacked":
+            def build():
+                @jax.jit
+                def run(params, x, l, m_mask, y, w):
+                    def body(carry, batch):
+                        if l is None:
+                            xb, mb, yb = batch
+                            lb = None
+                        else:
+                            xb, lb, mb, yb = batch
+                        bl, bg = batch_loss_grad(params, xb, lb, mb, yb,
+                                                 w)
+                        loss, grad = carry
+                        return (loss + bl, grad + bg), None
+                    init = (jnp.zeros((), w.dtype), jnp.zeros_like(w))
+                    xs = (x, m_mask, y) if l is None else (x, l, m_mask, y)
+                    out, _ = jax.lax.scan(body, init, xs)
+                    return out
+                return run
+            run = self._get_jit("class_loss_grad_stacked", build)
+            s = self._stacked
+            w = jnp.asarray(wvec, self._dtype)
+            loss, grad = run(self._params(), s["x"], s["l"], s["m"],
+                             s["y"], w)
+            grad = grad.at[1:, :].add((lambda_ ** 2) * w[1:, :])
+            total = float(loss) + 0.5 * (lambda_ ** 2) * \
+                float(jnp.sum(w[1:, :] ** 2))
+            return grad, total
+
         def build():
-            @jax.jit
-            def run(params, xb, lb, mb, yb, w):
-                z = feat(params, xb, lb, mb)
-                pred = _mm(z, w)
-                pred = pred - jnp.max(pred, axis=1, keepdims=True)
-                p = jnp.exp(pred)
-                p = p / jnp.sum(p, axis=1, keepdims=True)
-                logp = jnp.log(jnp.clip(p, min=1e-16))
-                picked = jnp.take_along_axis(logp, yb[:, None],
-                                             axis=1)[:, 0]
-                loss = -jnp.sum(picked * mb)
-                onehot = jax.nn.one_hot(yb, w.shape[1], dtype=z.dtype)
-                grad = _mm(z.T, (p - onehot) * mb[:, None])
-                return loss, grad
-            return run
+            return jax.jit(batch_loss_grad)
         run = self._get_jit("class_loss_grad", build)
 
         w = jnp.asarray(wvec, self._dtype)
