@@ -136,7 +136,6 @@ def fused_cg_solve_stacked(engine, rhs, lam, precond=None, max_iter=200,
 # multi-device (ShardedEngine): the whole loop runs inside shard_map.
 def fused_cg_solve_sharded(engine, rhs, lam, precond=None, max_iter=200,
                            tol=1e-4):
-    from .engine import Engine  # noqa: F401 (doc cross-ref)
     from ..parallel.mesh import DATA_AXIS
     feature_fn = engine.fn
     num_rffs = engine.num_rffs

@@ -17,13 +17,19 @@ import jax.numpy as jnp
 from .kernel_baseclass import KernelBaseclass
 from ..ops.hadamard import next_pow2
 from ..ops.conv import conv_maxpool_features
-from ..ops.sorf import rbf_feature_map, rbf_feature_map_grad
+from ..ops.sorf import (rbf_feature_map, rbf_feature_map_grad,
+                        rbf_feature_map_dense)
 from ..utils import rng as state_rng
 
 
 @partial(jax.jit, static_argnames=("width",))
 def _maxpool_transform(x, slen, radem, chi, width):
     return conv_maxpool_features(x, slen, radem, chi, width)
+
+
+@partial(jax.jit, static_argnames=("width",))
+def _maxpool_transform_dense(x, slen, radem, chi, width, proj):
+    return conv_maxpool_features(x, slen, radem, chi, width, proj=proj)
 
 
 class Conv1dTwoLayer(KernelBaseclass):
@@ -72,6 +78,27 @@ class Conv1dTwoLayer(KernelBaseclass):
             state_rng.radem_diagonals(seed2, nblocks2, padded2, sdtype))
         self.chi_arr2 = jnp.asarray(
             state_rng.chi_scaling(seed2, padded2, self.num_freqs, sdtype))
+        from ..ops.sorf import dense_threshold_ok
+        self.use_dense_projection = (
+            dense_threshold_ok(self.conv_width * xdim[2], self.init_rffs)
+            and dense_threshold_ok(self.init_rffs, self.num_freqs))
+        self._dense_proj_cache = {}
+
+    def _dense_projs(self, dtype):
+        """(layer-1 proj, layer-2 proj) dense matrices, cached per dtype."""
+        from ..ops.sorf import dense_sorf_projection
+        key = jnp.dtype(dtype).name
+        projs = self._dense_proj_cache.get(key)
+        if projs is None:
+            p1 = dense_sorf_projection(self.radem_diag1.astype(dtype),
+                                       self.chi_arr1.astype(dtype),
+                                       self.conv_width * self._xdim[2])
+            p2 = dense_sorf_projection(self.radem_diag2.astype(dtype),
+                                       self.chi_arr2.astype(dtype),
+                                       self.init_rffs)
+            projs = (p1, p2)
+            self._dense_proj_cache = {key: projs}
+        return projs
 
     def _layer1(self, input_x, sequence_length):
         if sequence_length is None:
@@ -79,6 +106,12 @@ class Conv1dTwoLayer(KernelBaseclass):
                 "sequence_length is required for convolution kernels.")
         if input_x.shape[2] != self._xdim[2]:
             raise RuntimeError("Unexpected input shape supplied.")
+        if self.use_dense_projection:
+            p1, _ = self._dense_projs(input_x.dtype)
+            return _maxpool_transform_dense(
+                input_x, sequence_length,
+                self.radem_diag1.astype(input_x.dtype),
+                self.chi_arr1.astype(input_x.dtype), self.conv_width, p1)
         return _maxpool_transform(input_x, sequence_length,
                                   self.radem_diag1.astype(input_x.dtype),
                                   self.chi_arr1.astype(input_x.dtype),
@@ -87,6 +120,11 @@ class Conv1dTwoLayer(KernelBaseclass):
     def kernel_specific_transform(self, input_x, sequence_length=None):
         feats = self._layer1(input_x, sequence_length)
         sigma = jnp.asarray(self.hyperparams[1], dtype=feats.dtype)
+        if self.use_dense_projection:
+            _, p2 = self._dense_projs(feats.dtype)
+            return rbf_feature_map_dense(feats * sigma, p2,
+                                         self.fit_intercept,
+                                         self._feature_padded)
         return rbf_feature_map(feats * sigma,
                                self.radem_diag2.astype(feats.dtype),
                                self.chi_arr2.astype(feats.dtype),
@@ -103,24 +141,37 @@ class Conv1dTwoLayer(KernelBaseclass):
     def feature_params(self):
         from .. import config
         dt = jnp.float64 if self.double_precision else config.fp_dtype()
-        return {"radem1": self.radem_diag1.astype(dt),
-                "chi1": self.chi_arr1.astype(dt),
-                "radem2": self.radem_diag2.astype(dt),
-                "chi2": self.chi_arr2.astype(dt),
-                "sigma": jnp.asarray(self.hyperparams[1], dtype=dt)}
+        params = {"radem1": self.radem_diag1.astype(dt),
+                  "chi1": self.chi_arr1.astype(dt),
+                  "radem2": self.radem_diag2.astype(dt),
+                  "chi2": self.chi_arr2.astype(dt),
+                  "sigma": jnp.asarray(self.hyperparams[1], dtype=dt)}
+        if self.use_dense_projection:
+            p1, p2 = self._dense_projs(dt)
+            params["proj1"] = p1
+            params["proj2"] = p2
+        return params
 
     def pure_feature_fn(self):
         fn = getattr(self, "_pure_fn", None)
         if fn is None:
             intercept = self.fit_intercept
             width = self.conv_width
+            padded2 = self._feature_padded
+            use_dense = self.use_dense_projection
 
             def fn(params, x, seq_len):
-                prof = conv_maxpool_features(x, seq_len, params["radem1"],
-                                             params["chi1"], width)
-                feats = rbf_feature_map(prof * params["sigma"],
-                                        params["radem2"], params["chi2"],
-                                        intercept)
+                prof = conv_maxpool_features(
+                    x, seq_len, params["radem1"], params["chi1"], width,
+                    proj=params.get("proj1") if use_dense else None)
+                if use_dense:
+                    feats = rbf_feature_map_dense(prof * params["sigma"],
+                                                  params["proj2"],
+                                                  intercept, padded2)
+                else:
+                    feats = rbf_feature_map(prof * params["sigma"],
+                                            params["radem2"],
+                                            params["chi2"], intercept)
                 if intercept:
                     feats = feats.at[:, 0].set(1.0)
                 return feats
