@@ -13,8 +13,6 @@ datasets).  Padded rows are zeroed via a row mask after featurisation, so
 chunk padding never perturbs a reduction.  All matmuls pin HIGHEST precision
 (TPU default would silently round to bf16).
 """
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

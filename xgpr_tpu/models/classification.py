@@ -7,7 +7,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from .baseclass import ModelBaseclass
-from .. import constants
 from ..fitting.nonlinear_cg import NonlinearCGClassification
 
 

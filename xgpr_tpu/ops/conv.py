@@ -16,8 +16,6 @@ slice, SORF-projects it as a batch, masks windows beyond each row's sequence
 length, and accumulates into the (N, 2F) output.  The window sum is
 associative so the scan is exact; memory stays O(N * BLK * P + N * F).
 """
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .hadamard import fwht, next_pow2
+from .hadamard import fwht
 
 
 def sorf_blocks(x_padded: jnp.ndarray, radem: jnp.ndarray) -> jnp.ndarray:

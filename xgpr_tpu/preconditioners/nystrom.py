@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 from ..utils import rng as state_rng
-from .. import config
 
 
 def _sketch_state(engine, rank, random_state):
