@@ -1,0 +1,65 @@
+"""NMLL hyperparameter-tuning wall-clock benchmark (driver metric #3).
+
+Times the crude (exact-NMLL Bayesian-grid) tuner and one SLQ-approximate
+NMLL evaluation on a synthetic tabular problem.
+
+    python scripts/tune_bench.py --rows 100000 --num-rffs 2048
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=100_000)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--num-rffs", type=int, default=2048)
+    ap.add_argument("--chunk", type=int, default=8192)
+    ap.add_argument("--backend", default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+    import numpy as np
+    from xgpr_tpu import GPRegression, build_regression_dataset
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((args.rows, args.dim)).astype(np.float32)
+    w1 = rng.standard_normal(args.dim) / np.sqrt(args.dim)
+    w2 = rng.standard_normal(args.dim) / np.sqrt(args.dim)
+    y = np.sin(2 * x @ w1) + (x @ w2) + 0.1 * rng.standard_normal(
+        args.rows)
+    data = build_regression_dataset(x, y, chunk_size=args.chunk)
+
+    model = GPRegression(num_rffs=args.num_rffs, kernel_choice="RBF",
+                         verbose=False)
+    t0 = time.time()
+    hparams, n_feval, score = model.tune_hyperparams_crude(
+        data, max_bayes_iter=15)
+    t_crude = time.time() - t0
+
+    t0 = time.time()
+    approx = model.approximate_nmll(hparams, data,
+                                    manual_settings={"max_rank": 512})
+    t_slq = time.time() - t0
+
+    print(json.dumps({
+        "rows": args.rows,
+        "num_rffs": args.num_rffs,
+        "crude_tune_sec": t_crude,
+        "crude_tune_nfeval": int(n_feval),
+        "tuned_nmll": float(score),
+        "slq_nmll_eval_sec": t_slq,
+        "slq_nmll": float(approx),
+        "hyperparams": list(map(float, hparams)),
+    }))
+
+
+if __name__ == "__main__":
+    main()

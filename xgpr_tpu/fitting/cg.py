@@ -74,6 +74,7 @@ class ConjugateGrad:
         resid = jnp.asarray(rhs)
         init_norms = jnp.linalg.norm(resid, axis=0)
         x_k = jnp.zeros_like(resid)
+        k = resid.shape[1]
 
         if preconditioner is None:
             z_k = resid
@@ -82,24 +83,35 @@ class ConjugateGrad:
         p_k = z_k
 
         alphas, betas, losses = [], [], []
-        converged = False
         niter = 0
         rz = jnp.sum(resid * z_k, axis=0)
+        # Per-column breakdown safety -- see fused_cg._cg_while.
+        active = jnp.ones((k,), jnp.bool_)
+        converged_mask = jnp.zeros((k,), jnp.bool_)
 
         for niter in range(1, maxiter + 1):
+            # 'active' == not broken down; converged columns keep
+            # iterating until the global exit (see fused_cg._cg_while).
             w = self.matvec(p_k, lambda_)
-            alpha = rz / jnp.sum(p_k * w, axis=0)
+            pw = jnp.sum(p_k * w, axis=0)
+            alpha_raw = rz / pw
+            bad = jnp.logical_or(~jnp.isfinite(alpha_raw), pw <= 0)
+            active = jnp.logical_and(active, ~bad)
+            alpha = jnp.where(active, alpha_raw, 0.0)
             x_k = x_k + alpha[None, :] * p_k
             resid_next = resid - alpha[None, :] * w
             err = jnp.linalg.norm(resid_next, axis=0) / init_norms
+            converged_mask = jnp.logical_or(converged_mask, err < tol)
 
             if preconditioner is None:
                 z_next = resid_next
             else:
                 z_next = preconditioner.batch_matvec(resid_next)
             rz_next = jnp.sum(resid_next * z_next, axis=0)
-            beta = rz_next / rz
-            p_k = z_next + beta[None, :] * p_k
+            active = jnp.logical_and(active, rz_next > 0)
+            beta = jnp.where(active, rz_next / rz, 0.0)
+            p_k = jnp.where(active[None, :],
+                            z_next + beta[None, :] * p_k, p_k)
             resid, z_k, rz = resid_next, z_next, rz_next
 
             if nmll_settings:
@@ -110,9 +122,9 @@ class ConjugateGrad:
 
             if verbose and niter % 5 == 0:
                 print(f"{niter} iterations complete.")
-            if float(err.max()) < tol:
-                converged = True
+            if bool(jnp.all(jnp.logical_or(converged_mask, ~active))):
                 break
+        converged = bool(jnp.all(converged_mask))
 
         if nmll_settings:
             alphas = np.stack(alphas)

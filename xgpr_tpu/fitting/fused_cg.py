@@ -34,7 +34,17 @@ def _precond_mv(u_mat, inv_eig, prefactor, v):
 
 
 def _cg_while(matvec, precond, rhs, lam, max_iter, tol):
-    """Shared PCG while_loop body; matvec/precond are traced callables."""
+    """Shared PCG while_loop body; matvec/precond are traced callables.
+
+    Breakdown safety (essential in float32 on near-singular systems): each
+    RHS column carries an 'active' flag.  A column is frozen when it
+    converges OR when CG breaks down for it (non-positive/non-finite
+    curvature p^T A p or residual energy r^T P^-1 r -- impossible in exact
+    arithmetic, routine in fp32 at extreme hyperparameters).  Frozen
+    columns stop updating (alpha = beta = 0) so they can never poison the
+    others with NaNs; recorded zero alphas mark where each column's
+    Lanczos sequence ended for SLQ truncation.
+    """
     m, k = rhs.shape
     init_norms = jnp.linalg.norm(rhs, axis=0)
     z0 = precond(rhs)
@@ -43,34 +53,52 @@ def _cg_while(matvec, precond, rhs, lam, max_iter, tol):
     state = {
         "x": jnp.zeros_like(rhs),
         "r": rhs,
-        "z": z0,
         "p": z0,
         "rz": rz0,
+        "active": jnp.ones((k,), jnp.bool_),
+        "converged": jnp.zeros((k,), jnp.bool_),
         "niter": jnp.zeros((), jnp.int32),
-        "done": jnp.zeros((), jnp.bool_),
         "alphas": jnp.zeros((max_iter, k), rhs.dtype),
         "betas": jnp.zeros((max_iter, k), rhs.dtype),
         "errs": jnp.zeros((max_iter,), rhs.dtype),
     }
 
     def cond(s):
-        return jnp.logical_and(~s["done"], s["niter"] < max_iter)
+        return jnp.logical_and(jnp.any(s["active"]),
+                               s["niter"] < max_iter)
 
     def body(s):
+        # 'active' == not broken down; converged columns keep iterating
+        # (matching the reference, whose loop only exits globally) so SLQ
+        # probes accumulate full-length Lanczos sequences.
+        active = s["active"]
         w = matvec(s["p"]) + (lam ** 2) * s["p"]
-        alpha = s["rz"] / jnp.sum(s["p"] * w, axis=0)
+        pw = jnp.sum(s["p"] * w, axis=0)
+        alpha_raw = s["rz"] / pw
+        bad = jnp.logical_or(~jnp.isfinite(alpha_raw), pw <= 0)
+        active = jnp.logical_and(active, ~bad)
+        alpha = jnp.where(active, alpha_raw, 0.0)
         x = s["x"] + alpha[None, :] * s["p"]
         r = s["r"] - alpha[None, :] * w
         err = jnp.linalg.norm(r, axis=0) / init_norms
+        converged = jnp.logical_or(s["converged"], err < tol)
+
         z = precond(r)
         rz_next = jnp.sum(r * z, axis=0)
-        beta = rz_next / s["rz"]
-        p = z + beta[None, :] * s["p"]
+        # Non-positive preconditioned residual energy == fp breakdown.
+        active = jnp.logical_and(active, rz_next > 0)
+        beta = jnp.where(active, rz_next / s["rz"], 0.0)
+        p = jnp.where(active[None, :], z + beta[None, :] * s["p"],
+                      s["p"])
+        # Global exit once every non-broken column is converged.
+        all_done = jnp.all(jnp.logical_or(converged, ~active))
+        active = jnp.logical_and(active, ~all_done)
         i = s["niter"]
         return {
-            "x": x, "r": r, "z": z, "p": p, "rz": rz_next,
+            "x": x, "r": r, "p": p, "rz": rz_next,
+            "active": active,
+            "converged": converged,
             "niter": i + 1,
-            "done": jnp.max(err) < tol,
             "alphas": jax.lax.dynamic_update_slice(
                 s["alphas"], alpha[None, :], (i, jnp.int32(0))),
             "betas": jax.lax.dynamic_update_slice(
@@ -80,7 +108,8 @@ def _cg_while(matvec, precond, rhs, lam, max_iter, tol):
         }
 
     out = jax.lax.while_loop(cond, body, state)
-    return (out["x"], out["done"], out["niter"], out["alphas"],
+    done = jnp.all(out["converged"])
+    return (out["x"], done, out["niter"], out["alphas"],
             out["betas"], out["errs"])
 
 

@@ -15,26 +15,44 @@ from scipy.linalg import eigh_tridiagonal
 
 
 def estimate_logdet(alphas, betas, num_rffs, preconditioner=None):
-    """alphas/betas: (niter, nprobes) numpy arrays from the CG run."""
+    """alphas/betas: (niter, nprobes) numpy arrays from the CG run.
+
+    Each probe's Lanczos sequence is truncated at its first non-positive
+    alpha: the breakdown-safe CG records alpha = 0 once a column has
+    converged or broken down (see fitting/fused_cg.py), and only the
+    preceding coefficients define a valid tridiagonal.
+    """
     alphas = np.asarray(alphas, dtype=np.float64)
     betas = np.asarray(betas, dtype=np.float64)
-    mat_diag = 1.0 / alphas
-    mat_diag[1:, :] += betas[:-1, :] / alphas[:-1, :]
-    upper_diag = np.sqrt(betas) / alphas
-
-    nprobes = mat_diag.shape[1]
+    nprobes = alphas.shape[1]
     logdets = np.zeros((nprobes,))
+    n_used = 0
     for i in range(nprobes):
-        if mat_diag.shape[0] > 1:
+        a = alphas[:, i]
+        b = betas[:, i]
+        bad = ~(a > 0)
+        length = int(np.argmax(bad)) if bad.any() else a.shape[0]
+        if length < 1:
+            continue
+        a = a[:length]
+        b = np.clip(b[:length], 0.0, None)
+        mat_diag = 1.0 / a
+        mat_diag[1:] += b[:-1] / a[:-1]
+        if length > 1:
+            upper_diag = (np.sqrt(b) / a)[:-1]
             eigvals, eigvecs = eigh_tridiagonal(
-                mat_diag[:, i], upper_diag[:-1, i], lapack_driver="stev")
+                mat_diag, upper_diag, lapack_driver="stev")
         else:
-            eigvals = mat_diag[:1, i]
+            eigvals = mat_diag[:1]
             eigvecs = np.ones((1, 1))
         weights = eigvecs[0, :] ** 2
+        eigvals = np.clip(eigvals, 1e-30, None)
         logdets[i] = (weights * np.log(eigvals)).sum()
+        n_used += 1
 
-    logdet = num_rffs * logdets.sum() / nprobes
+    if n_used == 0:
+        raise FloatingPointError("SLQ: no usable probe sequences.")
+    logdet = num_rffs * logdets.sum() / n_used
     if preconditioner is not None:
         logdet += preconditioner.get_logdet()
     return float(logdet)
