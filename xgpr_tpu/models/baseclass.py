@@ -69,6 +69,24 @@ class ModelBaseclass:
         return engine
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _bucket_sequence_axis(input_x, multiple=32):
+        """Pad 3-d input's sequence axis up to a bucket size so repeated
+        predict calls with varying L reuse one compiled program.  Extra
+        windows fall beyond every row's sequence_length and are masked
+        out, so features are unchanged (SURVEY.md section 5: bucketing +
+        masking keeps shapes static for XLA)."""
+        if input_x.ndim != 3:
+            return input_x
+        import numpy as np
+        l = input_x.shape[1]
+        bucket = ((l + multiple - 1) // multiple) * multiple
+        if bucket == l:
+            return input_x
+        pad = np.zeros((input_x.shape[0], bucket - l, input_x.shape[2]),
+                       dtype=input_x.dtype)
+        return np.concatenate([np.asarray(input_x), pad], axis=1)
+
     def pre_prediction_checks(self, input_x, sequence_lengths, get_var):
         if self.kernel is None or self.weights is None:
             raise RuntimeError("Model has not yet been successfully fitted.")

@@ -26,6 +26,7 @@ class GPClassification(ModelBaseclass):
     def predict(self, input_x, sequence_lengths=None, chunk_size=2000):
         """Class-probability predictions (xgp_classification.py:59-109)."""
         self.pre_prediction_checks(input_x, sequence_lengths, False)
+        input_x = self._bucket_sequence_axis(input_x)
         if self.gamma is None:
             raise RuntimeError("Model has not been fitted yet.")
         preds = []

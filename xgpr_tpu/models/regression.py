@@ -68,6 +68,7 @@ class GPRegression(ModelBaseclass):
         """Posterior mean (and optionally variance) for new datapoints
         (xgp_regression.py:77-145)."""
         self.pre_prediction_checks(input_x, sequence_lengths, get_var)
+        input_x = self._bucket_sequence_axis(input_x)
         preds, var = [], []
         lambda_ = self.kernel.get_lambda()
         weights = jnp.asarray(self.weights)
