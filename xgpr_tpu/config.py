@@ -38,6 +38,26 @@ def default_backend() -> str:
 
 
 # ----------------------------------------------------------------------
+# Matmul precision for the compute path.  TPU's DEFAULT silently rounds
+# operands to bfloat16 (breaking the 1e-3 feature contract); "highest" is
+# full fp32 via 6 bf16 passes; "high" is the 3-pass bf16 scheme (~1e-6
+# relative error -- still far inside the contract, ~2x faster).
+# NOTE: read at trace time -- set it before building engines/models.
+_MATMUL_PRECISION = "highest"
+
+
+def set_matmul_precision(p: str):
+    global _MATMUL_PRECISION
+    if p not in ("highest", "high", "default"):
+        raise ValueError("matmul precision must be highest/high/default")
+    _MATMUL_PRECISION = p
+
+
+def matmul_precision() -> str:
+    return _MATMUL_PRECISION
+
+
+# ----------------------------------------------------------------------
 # Engine selection: "auto" uses the sharded (shard_map + psum) engine when
 # more than one accelerator device is visible; "single" always uses the
 # single-device engine; "sharded" forces the sharded engine (useful for

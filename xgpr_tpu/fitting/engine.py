@@ -19,14 +19,12 @@ import jax.numpy as jnp
 
 from .. import config
 
-_PREC = jax.lax.Precision.HIGHEST
-
 # Stacked mode is used when the raw data fits comfortably on device.
 _STACKED_ELEMENT_LIMIT = 2 * 10**8
 
 
 def _mm(a, b):
-    return jnp.matmul(a, b, precision=_PREC)
+    return jnp.matmul(a, b, precision=config.matmul_precision())
 
 
 class Engine:

@@ -20,11 +20,9 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-_PREC = jax.lax.Precision.HIGHEST
-
-
 def _mm(a, b):
-    return jnp.matmul(a, b, precision=_PREC)
+    from .. import config as _cfg
+    return jnp.matmul(a, b, precision=_cfg.matmul_precision())
 
 
 def _precond_mv(u_mat, inv_eig, prefactor, v):

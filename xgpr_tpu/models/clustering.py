@@ -14,7 +14,9 @@ import jax.numpy as jnp
 
 from .kernel_fgen import AuxiliaryBaseclass
 
-_PREC = jax.lax.Precision.HIGHEST
+def _PREC():
+    from .. import config as _cfg
+    return _cfg.matmul_precision()
 
 
 class KernelPCA(AuxiliaryBaseclass):
@@ -52,7 +54,7 @@ class KernelPCA(AuxiliaryBaseclass):
             slen = None if sequence_lengths is None else \
                 sequence_lengths[i:cut]
             z = self.kernel.transform_x(input_x[i:cut, ...], slen)
-            cov = cov + jnp.matmul(z.T, z, precision=_PREC)
+            cov = cov + jnp.matmul(z.T, z, precision=_PREC())
             mean = mean + z.sum(axis=0)
         mean = mean / n
         cov = cov / n - jnp.outer(mean, mean)
@@ -116,13 +118,13 @@ class KernelKMeans(AuxiliaryBaseclass):
         @jax.jit
         def lloyd_step(centers, z):
             d2 = (jnp.sum(z ** 2, axis=1, keepdims=True)
-                  - 2 * jnp.matmul(z, centers.T, precision=_PREC)
+                  - 2 * jnp.matmul(z, centers.T, precision=_PREC())
                   + jnp.sum(centers ** 2, axis=1)[None, :])
             assign = jnp.argmin(d2, axis=1)
             onehot = jax.nn.one_hot(assign, centers.shape[0],
                                     dtype=z.dtype)
             counts = onehot.sum(axis=0)
-            sums = jnp.matmul(onehot.T, z, precision=_PREC)
+            sums = jnp.matmul(onehot.T, z, precision=_PREC())
             new_centers = sums / jnp.clip(counts, min=1.0)[:, None]
             new_centers = jnp.where(counts[:, None] > 0, new_centers,
                                     centers)

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from scipy.optimize import minimize
 
 from .baseclass import ModelBaseclass
+from .. import config as _cfg
 from .. import constants
 from ..fitting.cg import ConjugateGrad, cg_fit
 from ..fitting.exact import (calc_weights_exact, calc_variance_exact,
@@ -56,7 +57,7 @@ class GPRegression(ModelBaseclass):
                     return mean, None
                 zv = jnp.take(z, var_idx, axis=1)
                 pv = jnp.matmul(var_mat, zv.T,
-                                precision=jax.lax.Precision.HIGHEST).T
+                                precision=_cfg.matmul_precision()).T
                 pred_var = lam2 + lam2 * jnp.sum(zv * pv, axis=1)
                 return mean, pred_var
             self._predict_step = (id(self.kernel), step)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from .hadamard import next_pow2
 from .sorf import sorf_blocks, pad_rows, rbf_norm_constant
+from ..config import matmul_precision as _matmul_precision
 
 SCALING_NONE = 0
 SCALING_SQRT = 1
@@ -64,7 +65,7 @@ def _conv_project(x_flat: jnp.ndarray, start: jnp.ndarray, blk: int,
     return jax.lax.conv_general_dilated(
         base, kernel, window_strides=(1,), padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=jax.lax.Precision.HIGHEST)
+        precision=_matmul_precision())
 
 
 def conv_rbf_features(x: jnp.ndarray, seq_lengths: jnp.ndarray,

@@ -18,6 +18,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..config import matmul_precision as _matmul_precision
+
 _MAX_FACTOR_LOG2 = 7  # factors capped at 128 == MXU tile width
 
 
@@ -75,7 +77,7 @@ def fwht(x: jnp.ndarray) -> jnp.ndarray:
         # HIGHEST precision: on TPU the default matmul precision rounds
         # inputs to bf16, which breaks the +-1e-3 feature-agreement contract.
         x = jnp.tensordot(x, h, axes=((nb + i,), (0,)),
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=_matmul_precision())
         x = jnp.moveaxis(x, -1, nb + i)
     return x.reshape(batch_shape + (n,))
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .hadamard import fwht
+from ..config import matmul_precision as _matmul_precision
 
 
 def sorf_blocks(x_padded: jnp.ndarray, radem: jnp.ndarray) -> jnp.ndarray:
@@ -159,7 +160,7 @@ def rbf_feature_map_dense(x: jnp.ndarray, proj: jnp.ndarray,
     """RBF features via the dense projection; x must be pre-scaled by
     sigma.  Output layout identical to rbf_feature_map."""
     num_freqs = proj.shape[1]
-    arg = jnp.matmul(x, proj, precision=jax.lax.Precision.HIGHEST)
+    arg = jnp.matmul(x, proj, precision=_matmul_precision())
     scale = rbf_norm_constant(num_freqs, fit_intercept)
     return cos_sin_features(arg, scale, padded)
 
@@ -169,7 +170,7 @@ def rbf_feature_map_dense_grad(x: jnp.ndarray, proj: jnp.ndarray, sigma,
     """Dense-projection analogue of rbf_feature_map_grad."""
     from .layout import assemble_cos_sin
     num_freqs = proj.shape[1]
-    g = jnp.matmul(x, proj, precision=jax.lax.Precision.HIGHEST)
+    g = jnp.matmul(x, proj, precision=_matmul_precision())
     arg = g * jnp.asarray(sigma, dtype=x.dtype)
     scale = np.asarray(rbf_norm_constant(num_freqs, fit_intercept),
                        dtype=x.dtype)

@@ -23,11 +23,9 @@ from jax import shard_map
 from .mesh import DATA_AXIS, data_mesh
 from .. import config
 
-_PREC = jax.lax.Precision.HIGHEST
-
-
 def _mm(a, b):
-    return jnp.matmul(a, b, precision=_PREC)
+    from .. import config as _cfg
+    return jnp.matmul(a, b, precision=_cfg.matmul_precision())
 
 
 class ShardedEngine:
