@@ -1,0 +1,58 @@
+"""Multi-host (multi-process) execution helpers.
+
+SURVEY.md section 2.9 requires a mesh/device runtime over ICI/DCN using
+jax.distributed.  Single-host multi-chip needs nothing special (the
+ShardedEngine shards over local devices); across hosts each process:
+
+1. calls ``initialize_distributed(coordinator, n_procs, proc_id)``;
+2. builds its LOCAL portion of the dataset (e.g. its slice of the .npy
+   file list) -- every host must use the same chunk_size and batch count
+   per host;
+3. constructs the mesh over ``jax.devices()`` (global) and uses
+   ``host_local_stack_to_global`` to assemble globally-sharded stacks
+   from per-host data.
+
+All projection state derives from the shared integer seed, so no state
+needs to be broadcast (utils/rng.py).
+"""
+import numpy as np
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, data_mesh
+
+
+def initialize_distributed(coordinator_address, num_processes, process_id,
+                           local_device_ids=None):
+    """Thin wrapper over jax.distributed.initialize."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids)
+
+
+def global_data_mesh():
+    """A 1-D data mesh over every device in the (multi-host) job."""
+    return data_mesh()
+
+
+def host_local_stack_to_global(local_stack, mesh=None):
+    """Assemble a globally-sharded array from per-host batch stacks.
+
+    Args:
+        local_stack: this host's (local_batches, ...) numpy array.  Every
+            host must supply the same local_batches count (pad with
+            all-masked batches as ShardedEngine does).
+        mesh: the global data mesh (defaults to all devices).
+
+    Returns:
+        A jax.Array sharded over the mesh's data axis whose global shape
+        is (local_batches * num_processes, ...).
+    """
+    mesh = mesh if mesh is not None else global_data_mesh()
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    local_stack = np.asarray(local_stack)
+    if jax.process_count() == 1:
+        return jax.device_put(local_stack, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_stack)

@@ -68,7 +68,12 @@ class ShardedEngine:
                 has_l = True
                 ls.append(lb)
         nb = len(xs)
-        pad = (-nb) % self.n_dev
+        # In a multi-host job each process holds its local shard of the
+        # dataset; pad the LOCAL batch count to the local device count so
+        # every host contributes equally-shaped shards.
+        pad_base = jax.local_device_count() if jax.process_count() > 1 \
+            else self.n_dev
+        pad = (-nb) % pad_base
         for _ in range(pad):
             xs.append(np.zeros_like(xs[0]))
             ys.append(np.zeros_like(ys[0]))
@@ -76,20 +81,24 @@ class ShardedEngine:
             if has_l:
                 ls.append(np.full_like(ls[0], self.dataset.get_xdim()[1]))
 
-        dt = self._dtype
-        shard = NamedSharding(self.mesh, P(DATA_AXIS))
-        self._x = jax.device_put(jnp.asarray(np.stack(xs), dtype=dt), shard)
-        self._y = jax.device_put(
-            jnp.asarray(np.stack(ys),
-                        dtype=jnp.int32 if self.is_classification else dt),
-            shard)
-        self._m = jax.device_put(jnp.asarray(np.stack(ms), dtype=dt), shard)
+        from .distributed import host_local_stack_to_global
+        dt = np.dtype(jnp.dtype(self._dtype).name)
+        self._x = host_local_stack_to_global(
+            np.stack(xs).astype(dt), self.mesh)
+        self._y = host_local_stack_to_global(
+            np.stack(ys).astype(np.int32 if self.is_classification
+                                else dt), self.mesh)
+        self._m = host_local_stack_to_global(
+            np.stack(ms).astype(dt), self.mesh)
         if not has_l:
             # Fixed-vector kernels ignore seq_len; a dummy keeps every
             # shard_map signature uniform.
             ls = [np.zeros(ms[0].shape, dtype=np.int32) for _ in ms]
-        self._l = jax.device_put(jnp.asarray(np.stack(ls), jnp.int32),
-                                 shard)
+        self._l = host_local_stack_to_global(
+            np.stack(ls).astype(np.int32), self.mesh)
+        if jax.process_count() > 1:
+            # Global datapoint count = total unmasked rows across hosts.
+            self.ndatapoints = int(jnp.sum(self._m))
 
     def _params(self):
         return self.kernel.feature_params()
