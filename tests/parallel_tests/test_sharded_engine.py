@@ -61,6 +61,26 @@ def test_sketch_matches(setup):
     assert np.allclose(np.asarray(zty_a), np.asarray(zty_b), rtol=1e-9)
 
 
+def test_sharded_conv_kernel_matches(setup):
+    """Sequence (conv) kernels shard too: lengths ride the data axis."""
+    from utils.synthetic import sequence_data
+    (trx, tr_y, trl), _ = sequence_data(n_train=320)
+    dset = build_regression_dataset(trx, tr_y, sequence_lengths=trl,
+                                    chunk_size=40)
+    model = GPRegression(num_rffs=128, kernel_choice="Conv1dRBF",
+                         kernel_settings={"conv_width": 9}, verbose=False)
+    model.set_hyperparams(np.array([-1.0, -1.5]), dset)
+    single = Engine(model.kernel, dset)
+    sharded = ShardedEngine(model.kernel, dset, data_mesh(8))
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((128, 2))
+    assert np.allclose(np.asarray(single.ztzv(v)),
+                       np.asarray(sharded.ztzv(v)), rtol=1e-9, atol=1e-9)
+    a1, b1, c1 = single.design_mat()
+    a2, b2, c2 = sharded.design_mat()
+    assert np.allclose(np.asarray(a1), np.asarray(a2), rtol=1e-9)
+
+
 def test_full_cg_fit_on_mesh(setup):
     """Preconditioner build + PCG fit entirely through the sharded engine."""
     single, sharded, kernel = setup
