@@ -58,6 +58,29 @@ def matmul_precision() -> str:
 
 
 # ----------------------------------------------------------------------
+# Feature materialisation dtype for the CG matvec.  The (chunk, num_rffs)
+# feature matrix Z is the dominant HBM traffic of a fit; storing it as
+# bfloat16 halves that traffic.  Rounding is deterministic, so bf16 mode
+# solves a fixed, slightly-perturbed random-feature model -- statistically
+# indistinguishable from a different random seed.  Off by default.
+_FEATURE_DTYPE = "float32"
+
+
+def set_feature_dtype(d: str):
+    global _FEATURE_DTYPE
+    if d not in ("float32", "bfloat16"):
+        raise ValueError("feature dtype must be float32 or bfloat16")
+    _FEATURE_DTYPE = d
+
+
+def feature_dtype():
+    import jax.numpy as _jnp
+    if _FEATURE_DTYPE == "bfloat16" and not x64_enabled():
+        return _jnp.bfloat16
+    return None  # keep the working dtype
+
+
+# ----------------------------------------------------------------------
 # Engine selection: "auto" uses the sharded (shard_map + psum) engine when
 # more than one accelerator device is visible; "single" always uses the
 # single-device engine; "sharded" forces the sharded engine (useful for

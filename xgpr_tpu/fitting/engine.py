@@ -26,6 +26,21 @@ _STACKED_ELEMENT_LIMIT = 2 * 10**8
 def _mm(a, b):
     return jnp.matmul(a, b, precision=config.matmul_precision())
 
+def _ztzv_contract(z, v):
+    """Z^T (Z v) with optional bf16 feature materialisation
+    (config.set_feature_dtype): halves the dominant HBM traffic of the
+    matvec; accumulation stays float32."""
+    from .. import config as _cfg
+    fd = _cfg.feature_dtype()
+    if fd is not None:
+        zb = z.astype(fd)
+        zv = jnp.matmul(zb, v.astype(fd),
+                        preferred_element_type=jnp.float32)
+        return jnp.matmul(zb.T, zv.astype(fd),
+                          preferred_element_type=jnp.float32)
+    return _mm(z.T, _mm(z, v))
+
+
 
 class Engine:
     """Bundles (kernel, dataset) and exposes jit-compiled reductions."""
@@ -124,7 +139,7 @@ class Engine:
                         else:
                             xb, lb, mb = batch
                         z = feat(params, xb, lb, mb)
-                        return acc + _mm(z.T, _mm(z, v)), None
+                        return acc + _ztzv_contract(z, v), None
                     init = jnp.zeros((self.num_rffs, v.shape[-1]),
                                      dtype=v.dtype)
                     xs = (x, m) if l is None else (x, l, m)
@@ -141,7 +156,7 @@ class Engine:
             @jax.jit
             def run(params, xb, lb, mb, v):
                 z = feat(params, xb, lb, mb)
-                return _mm(z.T, _mm(z, v))
+                return _ztzv_contract(z, v)
             return run
         run = self._get_jit("ztzv_stream", build)
         v2 = jnp.asarray(vec, self._dtype).reshape(self.num_rffs, -1)

@@ -24,6 +24,21 @@ def _mm(a, b):
     from .. import config as _cfg
     return jnp.matmul(a, b, precision=_cfg.matmul_precision())
 
+def _ztzv_contract(z, v):
+    """Z^T (Z v) with optional bf16 feature materialisation
+    (config.set_feature_dtype): halves the dominant HBM traffic of the
+    matvec; accumulation stays float32."""
+    from .. import config as _cfg
+    fd = _cfg.feature_dtype()
+    if fd is not None:
+        zb = z.astype(fd)
+        zv = jnp.matmul(zb, v.astype(fd),
+                        preferred_element_type=jnp.float32)
+        return jnp.matmul(zb.T, zv.astype(fd),
+                          preferred_element_type=jnp.float32)
+    return _mm(z.T, _mm(z, v))
+
+
 
 def _precond_mv(u_mat, inv_eig, prefactor, v):
     xp = _mm(u_mat.T, v)
@@ -132,7 +147,7 @@ def fused_cg_solve_stacked(engine, rhs, lam, precond=None, max_iter=200,
                         xb, mb = batch
                         lb = None
                     z = feature_fn(params, xb, lb) * mb[:, None]
-                    return acc + _mm(z.T, _mm(z, v)), None
+                    return acc + _ztzv_contract(z, v), None
                 init = jnp.zeros((num_rffs, v.shape[-1]), v.dtype)
                 xs = (x, l, m) if has_l else (x, m)
                 acc, _ = jax.lax.scan(body, init, xs)
@@ -176,7 +191,7 @@ def fused_cg_solve_sharded(engine, rhs, lam, precond=None, max_iter=200,
                 def body(acc, batch):
                     xb, lb, mb = batch
                     z = feature_fn(params, xb, lb) * mb[:, None]
-                    return acc + _mm(z.T, _mm(z, v)), None
+                    return acc + _ztzv_contract(z, v), None
                 init = jnp.zeros((num_rffs, v.shape[-1]), v.dtype)
                 acc, _ = jax.lax.scan(body, init, (x, l, m))
                 return jax.lax.psum(acc, DATA_AXIS)

@@ -27,6 +27,21 @@ def _mm(a, b):
     from .. import config as _cfg
     return jnp.matmul(a, b, precision=_cfg.matmul_precision())
 
+def _ztzv_contract(z, v):
+    """Z^T (Z v) with optional bf16 feature materialisation
+    (config.set_feature_dtype): halves the dominant HBM traffic of the
+    matvec; accumulation stays float32."""
+    from .. import config as _cfg
+    fd = _cfg.feature_dtype()
+    if fd is not None:
+        zb = z.astype(fd)
+        zv = jnp.matmul(zb, v.astype(fd),
+                        preferred_element_type=jnp.float32)
+        return jnp.matmul(zb.T, zv.astype(fd),
+                          preferred_element_type=jnp.float32)
+    return _mm(z.T, _mm(z, v))
+
+
 
 class ShardedEngine:
     """Drop-in Engine replacement whose reductions run SPMD over a mesh.
@@ -123,7 +138,7 @@ class ShardedEngine:
                 def body(acc, batch):
                     xb, lb, mb = batch
                     z = feat(params, xb, lb, mb)
-                    return acc + _mm(z.T, _mm(z, v)), None
+                    return acc + _ztzv_contract(z, v), None
                 init = jnp.zeros((self.num_rffs, v.shape[-1]),
                                  dtype=v.dtype)
                 xs = (x, l, m)
