@@ -81,6 +81,29 @@ def feature_dtype():
 
 
 # ----------------------------------------------------------------------
+# Fast feature mode: run the SORF projection matmuls at the TPU's native
+# bf16 precision.  The resulting phase error (~1e-2 relative) is of the
+# same order as the intrinsic O(1/sqrt(F)) random-feature approximation
+# error, and the rounding is deterministic, so this is equivalent to a
+# slightly different -- but fixed -- random feature draw.  Off by
+# default; enable for throughput-critical fits.
+_FAST_FEATURES = False
+
+
+def set_fast_features(enabled: bool):
+    global _FAST_FEATURES
+    _FAST_FEATURES = bool(enabled)
+    if enabled:
+        set_feature_dtype("bfloat16")
+
+
+def feature_matmul_precision() -> str:
+    if _FAST_FEATURES and not x64_enabled():
+        return "default"
+    return matmul_precision()
+
+
+# ----------------------------------------------------------------------
 # Engine selection: "auto" uses the sharded (shard_map + psum) engine when
 # more than one accelerator device is visible; "single" always uses the
 # single-device engine; "sharded" forces the sharded engine (useful for

@@ -62,6 +62,13 @@ def _conv_project(x_flat: jnp.ndarray, start: jnp.ndarray, blk: int,
                                           start * d), (n, span))
     base = base.reshape(n, blk + width - 1, d)
     kernel = proj.reshape(width, d, proj.shape[1])
+    from ..config import feature_matmul_precision
+    if feature_matmul_precision() == "default":
+        return jax.lax.conv_general_dilated(
+            base.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16),
+            window_strides=(1,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32)
     return jax.lax.conv_general_dilated(
         base, kernel, window_strides=(1,), padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"),

@@ -155,12 +155,25 @@ def dense_threshold_ok(input_dim: int, num_freqs: int,
     return input_dim * num_freqs <= max_elements
 
 
+def _feature_projection(x, proj):
+    """x @ proj at the configured feature precision.  In fast mode the
+    operands are explicitly rounded to bfloat16 (f32 accumulation) --
+    deterministic on every backend, so CPU tests exercise exactly the
+    TPU fast path's numbers."""
+    from ..config import feature_matmul_precision
+    if feature_matmul_precision() == "default":
+        return jnp.matmul(x.astype(jnp.bfloat16),
+                          proj.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.matmul(x, proj, precision=_matmul_precision())
+
+
 def rbf_feature_map_dense(x: jnp.ndarray, proj: jnp.ndarray,
                           fit_intercept: bool, padded: int) -> jnp.ndarray:
     """RBF features via the dense projection; x must be pre-scaled by
     sigma.  Output layout identical to rbf_feature_map."""
     num_freqs = proj.shape[1]
-    arg = jnp.matmul(x, proj, precision=_matmul_precision())
+    arg = _feature_projection(x, proj)
     scale = rbf_norm_constant(num_freqs, fit_intercept)
     return cos_sin_features(arg, scale, padded)
 
