@@ -9,6 +9,7 @@ Parity notes (citations into /root/reference):
 - Linear: identity features + optional intercept column, num_rffs forced to
   D(+1), single lambda hyperparameter: linear.py:30-94.
 """
+from functools import partial
 from math import ceil
 
 import numpy as np
@@ -119,8 +120,6 @@ class SORFKernelBaseclass(KernelBaseclass):
                          self.chi_arr.astype(input_x.dtype), sigma,
                          self.fit_intercept)
 
-
-from functools import partial
 
 
 @partial(jax.jit, static_argnames=("fit_intercept",))
