@@ -81,6 +81,20 @@ def test_sharded_conv_kernel_matches(setup):
     assert np.allclose(np.asarray(a1), np.asarray(a2), rtol=1e-9)
 
 
+def test_sharded_miniard_matches(setup):
+    (trx, tr_y), _ = tabular_data(n_train=800)
+    dset = build_regression_dataset(trx, tr_y, chunk_size=100)
+    model = GPRegression(num_rffs=256, kernel_choice="MiniARD",
+                         kernel_settings={"split_points": [40]},
+                         verbose=False)
+    model.set_hyperparams(np.array([-1.0, -3.0, -2.5]), dset)
+    single = Engine(model.kernel, dset)
+    sharded = ShardedEngine(model.kernel, dset, data_mesh(8))
+    v = np.random.default_rng(9).standard_normal((256, 2))
+    assert np.allclose(np.asarray(single.ztzv(v)),
+                       np.asarray(sharded.ztzv(v)), rtol=1e-9, atol=1e-9)
+
+
 def test_full_cg_fit_on_mesh(setup):
     """Preconditioner build + PCG fit entirely through the sharded engine."""
     single, sharded, kernel = setup
