@@ -20,7 +20,10 @@ import jax.numpy as jnp
 from .. import config
 
 # Stacked mode is used when the raw data fits comfortably on device.
-_STACKED_ELEMENT_LIMIT = 2 * 10**8
+# 1e9 fp32 elements = 4 GB raw data -- comfortable on a 16 GB chip with
+# room for the (chunk, num_rffs) feature workspace; streaming mode handles
+# anything larger.
+_STACKED_ELEMENT_LIMIT = 10**9
 
 
 def _mm(a, b):
