@@ -28,10 +28,13 @@ def _matvec_rate(device, n_rows=262144, d=256, num_rffs=8192, chunk=8192,
     import jax.numpy as jnp
     from xgpr_tpu.kernels import KERNEL_NAME_TO_CLASS
 
-    # The production feature path (auto-selects the dense MXU projection).
+    # The production feature path (auto-selects the dense MXU projection
+    # and the cos/sin-parts contraction, exactly as the fused CG does).
     kernel = KERNEL_NAME_TO_CLASS["RBF"]((n_rows, d), num_rffs, 123)
     kernel.set_hyperparams(np.log(np.array([0.1, 1.0])))
     feature_fn = kernel.pure_feature_fn()
+    parts_fn = kernel.pure_feature_parts_fn()
+    positions = kernel.feature_positions() if parts_fn else None
     params = jax.device_put(
         jax.tree.map(lambda a: a.astype(jnp.float32)
                      if a.dtype.kind == "f" else a,
@@ -49,7 +52,28 @@ def _matvec_rate(device, n_rows=262144, d=256, num_rffs=8192, chunk=8192,
 
     prec = jax.lax.Precision.HIGHEST
 
+    if positions is not None:
+        cos_pos = jax.device_put(jnp.asarray(positions[0]), device)
+        sin_pos = jax.device_put(jnp.asarray(positions[1]), device)
+
     def matvec(x, v, params):
+        if positions is not None:
+            v_c = jnp.take(v, cos_pos, axis=0)
+            v_s = jnp.take(v, sin_pos, axis=0)
+
+            def body(acc, xb):
+                c, s = parts_fn(params, xb, None)
+                zv = jnp.matmul(c, v_c, precision=prec) + \
+                    jnp.matmul(s, v_s, precision=prec)
+                return (acc[0] + jnp.matmul(c.T, zv, precision=prec),
+                        acc[1] + jnp.matmul(s.T, zv, precision=prec)), \
+                    None
+            init = (jnp.zeros((num_freqs, n_rhs), jnp.float32),
+                    jnp.zeros((num_freqs, n_rhs), jnp.float32))
+            (oc, os), _ = jax.lax.scan(body, init, x)
+            out = jnp.zeros((num_rffs, n_rhs), jnp.float32)
+            return out.at[cos_pos].set(oc).at[sin_pos].set(os)
+
         def body(acc, xb):
             z = feature_fn(params, xb, None)
             zv = jnp.matmul(z, v, precision=prec)

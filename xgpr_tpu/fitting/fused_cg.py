@@ -40,6 +40,24 @@ def _ztzv_contract(z, v):
 
 
 
+def _parts_contract(c, s, v_c, v_s):
+    """Z^T (Z v) from (cos, sin) parts: zv = c v_c + s v_s, then
+    (c^T zv, s^T zv).  Avoids the canonical-layout assembly copies."""
+    from .. import config as _cfg
+    fd = _cfg.feature_dtype()
+    if fd is not None:
+        c, s = c.astype(fd), s.astype(fd)
+        zv = (jnp.matmul(c, v_c.astype(fd),
+                         preferred_element_type=jnp.float32)
+              + jnp.matmul(s, v_s.astype(fd),
+                           preferred_element_type=jnp.float32))
+        zvb = zv.astype(fd)
+        return (jnp.matmul(c.T, zvb, preferred_element_type=jnp.float32),
+                jnp.matmul(s.T, zvb, preferred_element_type=jnp.float32))
+    zv = _mm(c, v_c) + _mm(s, v_s)
+    return _mm(c.T, zv), _mm(s.T, zv)
+
+
 def _precond_mv(u_mat, inv_eig, prefactor, v):
     xp = _mm(u_mat.T, v)
     return (v - _mm(u_mat, xp)) + _mm(u_mat,
@@ -134,12 +152,17 @@ def fused_cg_solve_stacked(engine, rhs, lam, precond=None, max_iter=200,
     num_rffs = engine.num_rffs
     s = engine._stacked
     has_l = s["l"] is not None
+    parts_fn = engine.kernel.pure_feature_parts_fn()
+    positions = engine.kernel.feature_positions() if parts_fn else None
+    if positions is not None:
+        cos_pos = jnp.asarray(positions[0])
+        sin_pos = jnp.asarray(positions[1])
 
     def build():
         @partial(jax.jit, static_argnames=("max_iter",))
         def run(params, x, l, m, rhs, lam, u_mat, inv_eig, prefactor,
                 tol, max_iter):
-            def matvec(v):
+            def matvec_canonical(v):
                 def body(acc, batch):
                     if has_l:
                         xb, lb, mb = batch
@@ -152,6 +175,36 @@ def fused_cg_solve_stacked(engine, rhs, lam, precond=None, max_iter=200,
                 xs = (x, l, m) if has_l else (x, m)
                 acc, _ = jax.lax.scan(body, init, xs)
                 return acc
+
+            def matvec_parts(v):
+                # Permutation-invariant contraction on (cos, sin) parts:
+                # only the small (M, K) vectors are gathered/scattered.
+                v_c = jnp.take(v, cos_pos, axis=0)
+                v_s = jnp.take(v, sin_pos, axis=0)
+
+                def body(acc, batch):
+                    if has_l:
+                        xb, lb, mb = batch
+                    else:
+                        xb, mb = batch
+                        lb = None
+                    c, si = parts_fn(params, xb, lb)
+                    c = c * mb[:, None]
+                    si = si * mb[:, None]
+                    oc, os = _parts_contract(c, si, v_c, v_s)
+                    return (acc[0] + oc, acc[1] + os), None
+                f = cos_pos.shape[0]
+                init = (jnp.zeros((f, v.shape[-1]), v.dtype),
+                        jnp.zeros((f, v.shape[-1]), v.dtype))
+                xs = (x, l, m) if has_l else (x, m)
+                (oc, os), _ = jax.lax.scan(body, init, xs)
+                out = jnp.zeros_like(v)
+                out = out.at[cos_pos].set(oc)
+                out = out.at[sin_pos].set(os)
+                return out
+
+            matvec = matvec_parts if positions is not None \
+                else matvec_canonical
 
             if u_mat is None:
                 precond_fn = lambda v: v
@@ -181,13 +234,18 @@ def fused_cg_solve_sharded(engine, rhs, lam, precond=None, max_iter=200,
     from ..parallel.mesh import DATA_AXIS
     feature_fn = engine.fn
     num_rffs = engine.num_rffs
+    parts_fn = engine.kernel.pure_feature_parts_fn()
+    positions = engine.kernel.feature_positions() if parts_fn else None
+    if positions is not None:
+        cos_pos = jnp.asarray(positions[0])
+        sin_pos = jnp.asarray(positions[1])
 
     def build():
         mi = max_iter
 
         def local(params, x, l, m, rhs, lam, u_mat, inv_eig, prefactor,
                   tol):
-            def matvec(v):
+            def matvec_canonical(v):
                 def body(acc, batch):
                     xb, lb, mb = batch
                     z = feature_fn(params, xb, lb) * mb[:, None]
@@ -195,6 +253,29 @@ def fused_cg_solve_sharded(engine, rhs, lam, precond=None, max_iter=200,
                 init = jnp.zeros((num_rffs, v.shape[-1]), v.dtype)
                 acc, _ = jax.lax.scan(body, init, (x, l, m))
                 return jax.lax.psum(acc, DATA_AXIS)
+
+            def matvec_parts(v):
+                v_c = jnp.take(v, cos_pos, axis=0)
+                v_s = jnp.take(v, sin_pos, axis=0)
+
+                def body(acc, batch):
+                    xb, lb, mb = batch
+                    c, si = parts_fn(params, xb, lb)
+                    c = c * mb[:, None]
+                    si = si * mb[:, None]
+                    oc, os = _parts_contract(c, si, v_c, v_s)
+                    return (acc[0] + oc, acc[1] + os), None
+                f = cos_pos.shape[0]
+                init = (jnp.zeros((f, v.shape[-1]), v.dtype),
+                        jnp.zeros((f, v.shape[-1]), v.dtype))
+                (oc, os), _ = jax.lax.scan(body, init, (x, l, m))
+                out = jnp.zeros_like(v)
+                out = out.at[cos_pos].set(oc)
+                out = out.at[sin_pos].set(os)
+                return jax.lax.psum(out, DATA_AXIS)
+
+            matvec = matvec_parts if positions is not None \
+                else matvec_canonical
 
             if u_mat is None:
                 precond_fn = lambda v: v

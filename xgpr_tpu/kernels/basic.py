@@ -20,7 +20,8 @@ from .kernel_baseclass import KernelBaseclass
 from ..ops.hadamard import next_pow2
 from ..ops.sorf import (rbf_feature_map, rbf_feature_map_grad,
                         dense_sorf_projection, dense_threshold_ok,
-                        rbf_feature_map_dense, rbf_feature_map_dense_grad)
+                        rbf_feature_map_dense, rbf_feature_map_dense_grad,
+                        rbf_feature_parts_dense)
 from ..utils import rng as state_rng
 
 
@@ -119,6 +120,19 @@ class SORFKernelBaseclass(KernelBaseclass):
         return _rbf_grad(input_x, self.radem_diag.astype(input_x.dtype),
                          self.chi_arr.astype(input_x.dtype), sigma,
                          self.fit_intercept)
+
+    def pure_feature_parts_fn(self):
+        if not self.use_dense_projection:
+            return None
+        fn = getattr(self, "_parts_fn", None)
+        if fn is None:
+            intercept = self.fit_intercept
+
+            def fn(params, x, seq_len=None):
+                return rbf_feature_parts_dense(x * params["sigma"],
+                                               params["proj"], intercept)
+            self._parts_fn = fn
+        return fn
 
 
 

@@ -154,6 +154,21 @@ class KernelBaseclass(ABC):
         """
         raise NotImplementedError
 
+    def pure_feature_parts_fn(self):
+        """Optional fast path: fn(params, x, seq_len) -> (cos, sin) parts
+        without the canonical layout assembly, for solvers that contract
+        Z^T(Zv) permutation-invariantly.  None if unsupported."""
+        return None
+
+    def feature_positions(self):
+        """(cos_pos, sin_pos) canonical column positions per frequency
+        (ops/layout.py), for solvers using the parts fast path."""
+        from ..ops.layout import freq_positions
+        padded = getattr(self, "_feature_padded", None)
+        if padded is None:
+            return None
+        return freq_positions(self.num_freqs, padded)
+
     def _finalize(self, feats):
         """Apply the intercept column inside pure feature fns."""
         if self.fit_intercept:

@@ -194,6 +194,28 @@ def rbf_feature_map_dense_grad(x: jnp.ndarray, proj: jnp.ndarray, sigma,
     return feats, grad[:, :, None]
 
 
+def rbf_feature_parts_dense(x_scaled: jnp.ndarray, proj: jnp.ndarray,
+                            fit_intercept: bool):
+    """(cos, sin) feature parts WITHOUT the block-layout assembly.
+
+    The canonical (N, 2F) layout costs extra full-Z copies (concat +
+    reshape) that the CG matvec does not need: Z^T (Z v) is invariant to
+    any column permutation applied consistently to v, so the solver can
+    contract the parts directly (see fitting/fused_cg._ztzv_parts) and
+    gather/scatter only the small (M, K) vectors.  Intercept handling
+    (canonical column 0 == cos of frequency 0) is applied here.
+    """
+    num_freqs = proj.shape[1]
+    arg = _feature_projection(x_scaled, proj)
+    scale = jnp.asarray(rbf_norm_constant(num_freqs, fit_intercept),
+                        dtype=x_scaled.dtype)
+    cosv = jnp.cos(arg) * scale
+    sinv = jnp.sin(arg) * scale
+    if fit_intercept:
+        cosv = cosv.at[:, 0].set(1.0)
+    return cosv, sinv
+
+
 def srht_rows(x: jnp.ndarray, radem_vec: jnp.ndarray,
               sample_idx: jnp.ndarray) -> jnp.ndarray:
     """Subsampled randomised Hadamard transform of each row.
