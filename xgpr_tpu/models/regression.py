@@ -44,25 +44,32 @@ class GPRegression(ModelBaseclass):
         cached = getattr(self, "_predict_step", None)
         if cached is not None and cached[0] == id(self.kernel):
             return cached[1]
-        fn = None
-        if fn is None:
-            feature_fn = self.kernel.pure_feature_fn()
+        feature_fn = self.kernel.pure_feature_fn()
+        parts_fn = self.kernel.pure_feature_parts_fn()
+        positions = self.kernel.feature_positions() if parts_fn else None
+        if positions is not None:
+            cos_pos = jnp.asarray(positions[0])
+            sin_pos = jnp.asarray(positions[1])
 
-            @partial(jax.jit, static_argnames=("get_var",))
-            def step(params, x, slen, weights, var_mat, var_idx, lam2,
-                     get_var):
-                z = feature_fn(params, x, slen)
-                mean = z @ weights
-                if not get_var:
-                    return mean, None
-                zv = jnp.take(z, var_idx, axis=1)
-                pv = jnp.matmul(var_mat, zv.T,
-                                precision=_cfg.matmul_precision()).T
-                pred_var = lam2 + lam2 * jnp.sum(zv * pv, axis=1)
-                return mean, pred_var
-            self._predict_step = (id(self.kernel), step)
-            fn = step
-        return fn
+        @partial(jax.jit, static_argnames=("get_var",))
+        def step(params, x, slen, weights, var_mat, var_idx, lam2,
+                 get_var):
+            if positions is not None and not get_var:
+                # Layout-free mean: z @ w == c @ w_cos + s @ w_sin.
+                c, s = parts_fn(params, x, slen)
+                return (c @ jnp.take(weights, cos_pos)
+                        + s @ jnp.take(weights, sin_pos)), None
+            z = feature_fn(params, x, slen)
+            mean = z @ weights
+            if not get_var:
+                return mean, None
+            zv = jnp.take(z, var_idx, axis=1)
+            pv = jnp.matmul(var_mat, zv.T,
+                            precision=_cfg.matmul_precision()).T
+            pred_var = lam2 + lam2 * jnp.sum(zv * pv, axis=1)
+            return mean, pred_var
+        self._predict_step = (id(self.kernel), step)
+        return step
 
     def predict(self, input_x, sequence_lengths=None, get_var=False,
                 chunk_size=2000):
