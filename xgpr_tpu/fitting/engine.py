@@ -132,7 +132,41 @@ class Engine:
         feat = self._features
 
         if self.mode == "stacked":
+            parts_fn = self.kernel.pure_feature_parts_fn()
+            positions = self.kernel.feature_positions() if parts_fn \
+                else None
+
             def build():
+                if positions is not None:
+                    cos_pos = jnp.asarray(positions[0])
+                    sin_pos = jnp.asarray(positions[1])
+
+                    @jax.jit
+                    def run(params, x, l, m, v):
+                        v_c = jnp.take(v, cos_pos, axis=0)
+                        v_s = jnp.take(v, sin_pos, axis=0)
+
+                        def body(acc, batch):
+                            if l is None:
+                                xb, mb = batch
+                                lb = None
+                            else:
+                                xb, lb, mb = batch
+                            c, s = parts_fn(params, xb, lb)
+                            c = c * mb[:, None]
+                            s = s * mb[:, None]
+                            zv = _mm(c, v_c) + _mm(s, v_s)
+                            return (acc[0] + _mm(c.T, zv),
+                                    acc[1] + _mm(s.T, zv)), None
+                        f = cos_pos.shape[0]
+                        init = (jnp.zeros((f, v.shape[-1]), v.dtype),
+                                jnp.zeros((f, v.shape[-1]), v.dtype))
+                        xs = (x, m) if l is None else (x, l, m)
+                        (oc, os), _ = jax.lax.scan(body, init, xs)
+                        out = jnp.zeros_like(v)
+                        return out.at[cos_pos].set(oc).at[sin_pos].set(os)
+                    return run
+
                 @jax.jit
                 def run(params, x, l, m, v):
                     def body(acc, batch):
