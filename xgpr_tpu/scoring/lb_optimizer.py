@@ -20,8 +20,11 @@ def get_eigvals(engine, subsample=1.0):
 
     m = z_trans_z.shape[0]
     z_trans_z = z_trans_z + 1e-5 * jnp.eye(m, dtype=z_trans_z.dtype)
-    eigvecs, eigvals, _ = jnp.linalg.svd(z_trans_z, full_matrices=False)
-    eigvals = eigvals - 1e-5
+    # Z^T Z is symmetric PSD: eigh == the reference's SVD here
+    # (lb_optimizer.py:103-106) and is much cheaper on TPU.
+    eigvals, eigvecs = jnp.linalg.eigh(z_trans_z)
+    eigvals = eigvals[::-1] - 1e-5
+    eigvecs = eigvecs[:, ::-1]
 
     eigvals_np = np.array(eigvals)
     mask = eigvals_np >= 1e-7
