@@ -28,6 +28,22 @@ def _sketch_state(engine, rank, random_state):
     return radem, idx
 
 
+def _tall_svd(b):
+    """(U, singular values) of a tall-skinny (M, r) matrix via eigh of
+    the (r, r) gram matrix -- far cheaper than SVD on TPU.  Squares the
+    condition number, which is fine for preconditioner construction
+    (the reference's multipass path makes the same trade via Cholesky,
+    rand_nys_constructors.py:198-213)."""
+    g = jnp.matmul(b.T, b, precision="highest")
+    ev, v = jnp.linalg.eigh(g)
+    ev = jnp.clip(ev[::-1], min=0.0)
+    v = v[:, ::-1]
+    s = jnp.sqrt(ev)
+    inv_s = jnp.where(s > 1e-14, 1.0 / jnp.where(s > 1e-14, s, 1.0), 0.0)
+    u = jnp.matmul(b, v * inv_s[None, :], precision="highest")
+    return u, s
+
+
 def _nystrom_from_sketch(acc, radem, idx):
     """Shared tail of the single-pass construction: sketch-SVD + whitening."""
     from ..ops.sorf import srht_rows
@@ -37,7 +53,7 @@ def _nystrom_from_sketch(acc, radem, idx):
     c_s1 = 1.0 / jnp.sqrt(jnp.clip(c_s1, min=1e-14))
     c_s1 = jnp.where(mask, 0.0, c_s1)
     b = acc.T @ c_v1.T @ (c_s1[:, None] * c_v1)
-    u_mat, s_mat, _ = jnp.linalg.svd(b, full_matrices=False)
+    u_mat, s_mat = _tall_svd(b)
     return u_mat, s_mat ** 2
 
 
@@ -75,7 +91,7 @@ def initialize_srht_multipass(engine, rank, random_state, n_passes=2,
     small = q_mat.T @ acc
     chol = jnp.linalg.cholesky(small)
     acc = solve_triangular(chol, acc.T, lower=True).T
-    u_mat, s_mat, _ = jnp.linalg.svd(acc, full_matrices=False)
+    u_mat, s_mat = _tall_svd(acc)
     eig = jnp.clip(s_mat ** 2 - shift, min=0)
     return u_mat, eig, z_trans_y, y_trans_y
 
