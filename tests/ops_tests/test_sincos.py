@@ -1,0 +1,59 @@
+"""Oracle test for the fast polynomial sincos (ops/sincos.py).
+
+The feature-map contract is the reference's own fp32 tolerance
+(rtol/atol 1e-3, tests/fht_operations_tests/test_rbf_rfgen.py:104); the
+polynomial must stay ~4 orders of magnitude inside it over the argument
+range feature maps actually produce.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from xgpr_tpu.ops.sincos import sincos, _poly_sincos
+from xgpr_tpu import config
+
+
+def test_poly_sincos_accuracy_fp32():
+    rng = np.random.default_rng(0)
+    # Feature-map args: sigma-scaled projections, O(1)..O(100); also probe
+    # near quadrant boundaries and larger magnitudes.
+    x = np.concatenate([
+        rng.uniform(-3.0, 3.0, 20000),
+        rng.uniform(-120.0, 120.0, 20000),
+        rng.uniform(-2000.0, 2000.0, 10000),
+        np.pi / 2 * np.arange(-64, 64) + rng.normal(0, 1e-4, 128),
+        np.array([0.0, np.pi, -np.pi, np.pi / 2, -np.pi / 2]),
+    ]).astype(np.float32)
+    cosv, sinv = _poly_sincos(jnp.asarray(x))
+    x64 = x.astype(np.float64)
+    assert np.max(np.abs(np.asarray(cosv) - np.cos(x64))) < 5e-7
+    assert np.max(np.abs(np.asarray(sinv) - np.sin(x64))) < 5e-7
+
+
+def test_sincos_dispatch():
+    x32 = jnp.asarray(np.linspace(-5, 5, 1024), dtype=jnp.float32)
+    x64 = jnp.asarray(np.linspace(-5, 5, 1024), dtype=jnp.float64)
+    # auto: fp64 goes through the exact builtin, bit-for-bit.
+    c64, s64 = sincos(x64)
+    assert np.array_equal(np.asarray(c64), np.asarray(jnp.cos(x64)))
+    assert np.array_equal(np.asarray(s64), np.asarray(jnp.sin(x64)))
+    # auto: fp32 takes the polynomial.
+    c32, s32 = sincos(x32)
+    cp, sp = _poly_sincos(x32)
+    assert np.array_equal(np.asarray(c32), np.asarray(cp))
+    assert np.array_equal(np.asarray(s32), np.asarray(sp))
+    # exact mode forces the builtin even in fp32.
+    config.set_sincos_mode("exact")
+    try:
+        ce, se = sincos(x32)
+        assert np.array_equal(np.asarray(ce), np.asarray(jnp.cos(x32)))
+    finally:
+        config.set_sincos_mode("auto")
+
+
+def test_poly_sincos_pythagorean_and_shape():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(-50, 50, (64, 128)), dtype=jnp.float32)
+    c, s = _poly_sincos(x)
+    assert c.shape == x.shape and s.shape == x.shape
+    assert np.max(np.abs(np.asarray(c) ** 2 + np.asarray(s) ** 2 - 1.0)) \
+        < 1e-6

@@ -104,6 +104,25 @@ def feature_matmul_precision() -> str:
 
 
 # ----------------------------------------------------------------------
+# sin/cos evaluation in the feature maps (see ops/sincos.py).  "auto"
+# (default) uses the fast shared-reduction polynomial for float32 and the
+# exact builtin for float64; "exact"/"poly" force one path.  Read at
+# trace time.
+_SINCOS_MODE = "auto"
+
+
+def set_sincos_mode(mode: str):
+    global _SINCOS_MODE
+    if mode not in ("auto", "exact", "poly"):
+        raise ValueError("sincos mode must be auto, exact or poly")
+    _SINCOS_MODE = mode
+
+
+def sincos_mode() -> str:
+    return _SINCOS_MODE
+
+
+# ----------------------------------------------------------------------
 # Engine selection: "auto" uses the sharded (shard_map + psum) engine when
 # more than one accelerator device is visible; "single" always uses the
 # single-device engine; "sharded" forces the sharded engine (useful for

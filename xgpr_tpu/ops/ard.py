@@ -72,8 +72,10 @@ def mini_ard_grad(x: jnp.ndarray, weights: jnp.ndarray,
     rf_sum = jnp.einsum("nfg,g->nf", dots, sigma_vals.astype(x.dtype))
     scale = jnp.asarray(rbf_norm_constant(num_freqs, fit_intercept),
                         dtype=x.dtype)
-    cosv = jnp.cos(rf_sum) * scale
-    sinv = jnp.sin(rf_sum) * scale
+    from .sincos import sincos
+    cosv, sinv = sincos(rf_sum)
+    cosv = cosv * scale
+    sinv = sinv * scale
     from .layout import assemble_cos_sin
     padded = next_pow2(weights.shape[1])
     feats = assemble_cos_sin(cosv, sinv, padded)

@@ -137,11 +137,13 @@ def conv_rbf_features(x: jnp.ndarray, seq_lengths: jnp.ndarray,
         # mask windows beyond this row's kmer count
         widx = start + jnp.arange(blk, dtype=jnp.int32)
         mask = (widx[None, :] < nk[:, None]).astype(dtype)[:, :, None]
-        cosv = jnp.sum(jnp.cos(arg) * mask, axis=1)
-        sinv = jnp.sum(jnp.sin(arg) * mask, axis=1)
+        from .sincos import sincos
+        cos_arg, sin_arg = sincos(arg)
+        cosv = jnp.sum(cos_arg * mask, axis=1)
+        sinv = jnp.sum(sin_arg * mask, axis=1)
         if with_grad:
-            dcos = jnp.sum(-jnp.sin(arg) * g * mask, axis=1)
-            dsin = jnp.sum(jnp.cos(arg) * g * mask, axis=1)
+            dcos = jnp.sum(-sin_arg * g * mask, axis=1)
+            dsin = jnp.sum(cos_arg * g * mask, axis=1)
             acc_f, acc_g = carry
             acc_f = (acc_f[0] + cosv, acc_f[1] + sinv)
             acc_g = (acc_g[0] + dcos, acc_g[1] + dsin)

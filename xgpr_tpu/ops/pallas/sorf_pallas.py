@@ -38,11 +38,13 @@ def pallas_feature_shapes_ok(n, d, num_freqs, padded, dtype) -> bool:
 
 
 def _feature_kernel(x_ref, proj_ref, out_ref, *, width, scale):
+    from ..sincos import sincos
     arg = jnp.dot(x_ref[:], proj_ref[:],
                   preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
-    out_ref[:, :width] = jnp.cos(arg) * scale
-    out_ref[:, width:] = jnp.sin(arg) * scale
+    cosv, sinv = sincos(arg)
+    out_ref[:, :width] = cosv * scale
+    out_ref[:, width:] = sinv * scale
 
 
 @partial(jax.jit, static_argnames=("fit_intercept", "padded", "interpret"))

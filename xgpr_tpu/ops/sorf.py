@@ -76,8 +76,10 @@ def cos_sin_features(arg: jnp.ndarray, scale, padded: int) -> jnp.ndarray:
     a TPU-friendly permutation of the reference's interleaved layout,
     shared_rfgen_ops.cpp:104-113)."""
     from .layout import assemble_cos_sin
+    from .sincos import sincos
     s = jnp.asarray(scale, dtype=arg.dtype)
-    return assemble_cos_sin(jnp.cos(arg) * s, jnp.sin(arg) * s, padded)
+    cosv, sinv = sincos(arg)
+    return assemble_cos_sin(cosv * s, sinv * s, padded)
 
 
 def rbf_norm_constant(num_freqs: int, fit_intercept: bool) -> float:
@@ -118,14 +120,16 @@ def rbf_feature_map_grad(x: jnp.ndarray, radem: jnp.ndarray,
         dz_dsigma: (N, 2F, 1) derivative w.r.t. sigma.
     """
     from .layout import assemble_cos_sin
+    from .sincos import sincos
     num_freqs = chi.shape[0]
     padded = radem.shape[-1]
     g = sorf_project(x, radem, num_freqs) * chi
     arg = g * jnp.asarray(sigma, dtype=x.dtype)
     scale = np.asarray(rbf_norm_constant(num_freqs, fit_intercept),
                        dtype=x.dtype)
-    cosv = jnp.cos(arg) * scale
-    sinv = jnp.sin(arg) * scale
+    cosv, sinv = sincos(arg)
+    cosv = cosv * scale
+    sinv = sinv * scale
     feats = assemble_cos_sin(cosv, sinv, padded)
     grad = assemble_cos_sin(-sinv * g, cosv * g, padded)
     return feats, grad[:, :, None]
@@ -182,13 +186,15 @@ def rbf_feature_map_dense_grad(x: jnp.ndarray, proj: jnp.ndarray, sigma,
                                fit_intercept: bool, padded: int):
     """Dense-projection analogue of rbf_feature_map_grad."""
     from .layout import assemble_cos_sin
+    from .sincos import sincos
     num_freqs = proj.shape[1]
     g = jnp.matmul(x, proj, precision=_matmul_precision())
     arg = g * jnp.asarray(sigma, dtype=x.dtype)
     scale = np.asarray(rbf_norm_constant(num_freqs, fit_intercept),
                        dtype=x.dtype)
-    cosv = jnp.cos(arg) * scale
-    sinv = jnp.sin(arg) * scale
+    cosv, sinv = sincos(arg)
+    cosv = cosv * scale
+    sinv = sinv * scale
     feats = assemble_cos_sin(cosv, sinv, padded)
     grad = assemble_cos_sin(-sinv * g, cosv * g, padded)
     return feats, grad[:, :, None]
@@ -205,12 +211,14 @@ def rbf_feature_parts_dense(x_scaled: jnp.ndarray, proj: jnp.ndarray,
     gather/scatter only the small (M, K) vectors.  Intercept handling
     (canonical column 0 == cos of frequency 0) is applied here.
     """
+    from .sincos import sincos
     num_freqs = proj.shape[1]
     arg = _feature_projection(x_scaled, proj)
     scale = jnp.asarray(rbf_norm_constant(num_freqs, fit_intercept),
                         dtype=x_scaled.dtype)
-    cosv = jnp.cos(arg) * scale
-    sinv = jnp.sin(arg) * scale
+    cosv, sinv = sincos(arg)
+    cosv = cosv * scale
+    sinv = sinv * scale
     if fit_intercept:
         cosv = cosv.at[:, 0].set(1.0)
     return cosv, sinv
