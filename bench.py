@@ -34,6 +34,10 @@ def _matvec_rate(device, n_rows=262144, d=256, num_rffs=8192, chunk=8192,
     kernel.set_hyperparams(np.log(np.array([0.1, 1.0])))
     feature_fn = kernel.pure_feature_fn()
     parts_fn = kernel.pure_feature_parts_fn()
+    # Fused Pallas matvec only on the accelerator target; the CPU baseline
+    # run keeps the XLA path (Pallas has no compiled CPU backend).
+    ztzv_fn = kernel.pure_ztzv_parts_fn() \
+        if device.platform != "cpu" else None
     positions = kernel.feature_positions() if parts_fn else None
     params = jax.device_put(
         jax.tree.map(lambda a: a.astype(jnp.float32)
@@ -50,7 +54,10 @@ def _matvec_rate(device, n_rows=262144, d=256, num_rffs=8192, chunk=8192,
     vs = jax.device_put(jnp.asarray(rng.standard_normal(
         (repeats + 1, num_rffs, n_rhs)).astype(np.float32)), device)
 
-    prec = jax.lax.Precision.HIGHEST
+    from xgpr_tpu import config as _cfg
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[_cfg.feature_precision()]
 
     if positions is not None:
         cos_pos = jax.device_put(jnp.asarray(positions[0]), device)
@@ -61,13 +68,21 @@ def _matvec_rate(device, n_rows=262144, d=256, num_rffs=8192, chunk=8192,
             v_c = jnp.take(v, cos_pos, axis=0)
             v_s = jnp.take(v, sin_pos, axis=0)
 
+            ones = jnp.ones((chunk,), jnp.float32)
+
             def body(acc, xb):
-                c, s = parts_fn(params, xb, None)
-                zv = jnp.matmul(c, v_c, precision=prec) + \
-                    jnp.matmul(s, v_s, precision=prec)
-                return (acc[0] + jnp.matmul(c.T, zv, precision=prec),
-                        acc[1] + jnp.matmul(s.T, zv, precision=prec)), \
-                    None
+                fused = None
+                if ztzv_fn is not None:
+                    fused = ztzv_fn(params, xb, None, ones, v_c, v_s)
+                if fused is not None:
+                    oc, os = fused
+                else:
+                    c, s = parts_fn(params, xb, None)
+                    zv = jnp.matmul(c, v_c, precision=prec) + \
+                        jnp.matmul(s, v_s, precision=prec)
+                    oc = jnp.matmul(c.T, zv, precision=prec)
+                    os = jnp.matmul(s.T, zv, precision=prec)
+                return (acc[0] + oc, acc[1] + os), None
             init = (jnp.zeros((num_freqs, n_rhs), jnp.float32),
                     jnp.zeros((num_freqs, n_rhs), jnp.float32))
             (oc, os), _ = jax.lax.scan(body, init, x)

@@ -1,0 +1,54 @@
+"""The fused Pallas chunk matvec must reproduce the XLA parts path
+(parts_fn + mask + Z^T(Zv) contraction) exactly up to fp32 roundoff.
+
+Runs in interpret mode on CPU; the kernel math (projection, poly sincos,
+intercept column, row mask, both contractions) is identical to what runs
+compiled on the TPU.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from xgpr_tpu.ops.pallas.ztzv_pallas import (ztzv_parts_pallas,
+                                             ztzv_shapes_ok)
+from xgpr_tpu.ops.sorf import rbf_feature_parts_dense
+
+
+def _oracle(x, m, proj, sigma, vc, vs, intercept):
+    c, s = rbf_feature_parts_dense(jnp.asarray((x * sigma), jnp.float32),
+                                   jnp.asarray(proj), intercept)
+    c = np.asarray(c, np.float64) * m[:, None]
+    s = np.asarray(s, np.float64) * m[:, None]
+    zv = c @ vc + s @ vs
+    return c.T @ zv, s.T @ zv
+
+
+@pytest.mark.parametrize("intercept", [False, True])
+@pytest.mark.parametrize("n,d,f,k", [(128, 84, 256, 5), (64, 128, 128, 1),
+                                     (96, 10, 384, 8)])
+def test_ztzv_pallas_matches_parts_path(intercept, n, d, f, k):
+    rng = np.random.default_rng(hash((n, d, f, k)) % 2 ** 31)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    m = (rng.random(n) > 0.25).astype(np.float32)
+    proj = (rng.standard_normal((d, f)) * 0.3).astype(np.float32)
+    sigma = np.float32(0.7)
+    vc = rng.standard_normal((f, k)).astype(np.float32)
+    vs = rng.standard_normal((f, k)).astype(np.float32)
+
+    assert ztzv_shapes_ok(n, d, f, jnp.float32)
+    oc, os_ = ztzv_parts_pallas(
+        jnp.asarray(x), jnp.asarray(m), jnp.asarray(proj), sigma,
+        jnp.asarray(vc), jnp.asarray(vs), intercept, f, interpret=True)
+    oc_ref, os_ref = _oracle(x, m, proj, sigma, vc, vs, intercept)
+    tol = 3e-5 * max(1.0, np.abs(oc_ref).max())
+    assert np.abs(np.asarray(oc) - oc_ref).max() < tol
+    assert np.abs(np.asarray(os_) - os_ref).max() < tol
+
+
+def test_ztzv_shape_gates():
+    # fp64, ragged freq counts, or VMEM-busting shapes are rejected so the
+    # solver falls back to the XLA path.
+    assert not ztzv_shapes_ok(128, 84, 256, jnp.float64)
+    assert not ztzv_shapes_ok(128, 84, 200, jnp.float32)
+    assert not ztzv_shapes_ok(129, 84, 256, jnp.float32)  # no tile divides
+    assert not ztzv_shapes_ok(128, 84, 1 << 17, jnp.float32)  # VMEM

@@ -58,6 +58,30 @@ def matmul_precision() -> str:
 
 
 # ----------------------------------------------------------------------
+# Precision for the FEATURE-PATH matmuls only: the SORF projection and
+# the CG-matvec contractions (Zv, Z^T(Zv)).  Measured on-chip these are
+# the whole hot loop, and "high" (3-pass bf16, ~5e-7 relative error --
+# three orders inside the 1e-3 fp32 feature contract) halves their MXU
+# cost vs "highest" (6-pass).  Solve-path reductions (design matrix,
+# Cholesky/eig inputs) stay on set_matmul_precision ("highest") where
+# conditioning actually matters.  Read at trace time.
+_FEATURE_PRECISION = "high"
+
+
+def set_feature_precision(p: str):
+    global _FEATURE_PRECISION
+    if p not in ("highest", "high", "default"):
+        raise ValueError("feature precision must be highest/high/default")
+    _FEATURE_PRECISION = p
+
+
+def feature_precision() -> str:
+    if x64_enabled():
+        return "highest"  # fp64 runs reproduce the reference contract
+    return _FEATURE_PRECISION
+
+
+# ----------------------------------------------------------------------
 # Feature materialisation dtype for the CG matvec.  The (chunk, num_rffs)
 # feature matrix Z is the dominant HBM traffic of a fit; storing it as
 # bfloat16 halves that traffic.  Rounding is deterministic, so bf16 mode
@@ -100,7 +124,27 @@ def set_fast_features(enabled: bool):
 def feature_matmul_precision() -> str:
     if _FAST_FEATURES and not x64_enabled():
         return "default"
-    return matmul_precision()
+    return feature_precision()
+
+
+# ----------------------------------------------------------------------
+# CG matvec implementation (see ops/pallas/ztzv_pallas.py).  "auto"
+# (default) uses the fused Pallas chunk kernel on TPU for supported
+# dense-projection kernels and the XLA parts path elsewhere; "xla"
+# forces the XLA path; "pallas" forces the kernel (interpret-mode on
+# CPU -- slow, for testing).  Read at trace time.
+_MATVEC_MODE = "auto"
+
+
+def set_matvec_mode(mode: str):
+    global _MATVEC_MODE
+    if mode not in ("auto", "xla", "pallas"):
+        raise ValueError("matvec mode must be auto, xla or pallas")
+    _MATVEC_MODE = mode
+
+
+def matvec_mode() -> str:
+    return _MATVEC_MODE
 
 
 # ----------------------------------------------------------------------

@@ -30,12 +30,48 @@ def direct_weight_calc(z_trans_z, z_trans_y, lambda_):
     return chol, weights
 
 
+def rescue_weight_calc(z_trans_z, z_trans_y, lambda_):
+    """Cholesky weights with a shifted-factorization rescue.
+
+    The reference runs LAPACK in fp64, where (Z^T Z + lambda^2 I) is
+    essentially always numerically PD; in fp32 (TPU) a well-tuned tiny
+    lambda can put the shift below roundoff of the leading eigenvalues
+    and the factorization breaks down.  Mirroring the reference's
+    numerically-shifted Cholesky in its preconditioner constructor
+    (rand_nys_constructors.py:198-213), retry with a growing diagonal
+    shift -- a slightly stronger ridge -- rather than failing the fit.
+    """
+    import warnings
+    try:
+        _, weights = direct_weight_calc(z_trans_z, z_trans_y, lambda_)
+        return weights
+    except FloatingPointError:
+        pass
+    m = z_trans_z.shape[0]
+    mean_eig = float(jnp.trace(z_trans_z)) / m
+    for k in range(7):
+        eps = mean_eig * (10.0 ** (k - 7))
+        try:
+            _, weights = direct_weight_calc(
+                z_trans_z, z_trans_y,
+                jnp.sqrt(lambda_ ** 2 + eps))
+            warnings.warn(
+                "Design matrix was not positive definite at the "
+                f"requested lambda; solved with an extra ridge of {eps:.3e} "
+                "(fp32 shifted factorization).")
+            return weights
+    # pragma: no cover -- trace-scaled shifts always succeed eventually
+        except FloatingPointError:
+            continue
+    raise FloatingPointError("Design matrix is not positive definite.")
+
+
 def calc_weights_exact(engine):
     """Exact weights via one design-matrix pass + Cholesky
     (exact_fitting_toolkit.py:16-36)."""
     z_trans_z, z_trans_y, _ = engine.design_mat()
     lambda_ = engine.kernel.get_lambda()
-    _, weights = direct_weight_calc(z_trans_z, z_trans_y, lambda_)
+    weights = rescue_weight_calc(z_trans_z, z_trans_y, lambda_)
     return weights, 1, []
 
 

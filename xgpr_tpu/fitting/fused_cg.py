@@ -24,6 +24,14 @@ def _mm(a, b):
     from .. import config as _cfg
     return jnp.matmul(a, b, precision=_cfg.matmul_precision())
 
+
+def _fmm(a, b):
+    """Feature-path matmul: the Zv / Z^T(Zv) contractions run at the
+    (cheaper) feature precision; see config.set_feature_precision."""
+    from .. import config as _cfg
+    return jnp.matmul(a, b, precision=_cfg.feature_precision())
+
+
 def _ztzv_contract(z, v):
     """Z^T (Z v) with optional bf16 feature materialisation
     (config.set_feature_dtype): halves the dominant HBM traffic of the
@@ -36,7 +44,7 @@ def _ztzv_contract(z, v):
                         preferred_element_type=jnp.float32)
         return jnp.matmul(zb.T, zv.astype(fd),
                           preferred_element_type=jnp.float32)
-    return _mm(z.T, _mm(z, v))
+    return _fmm(z.T, _fmm(z, v))
 
 
 
@@ -54,8 +62,8 @@ def _parts_contract(c, s, v_c, v_s):
         zvb = zv.astype(fd)
         return (jnp.matmul(c.T, zvb, preferred_element_type=jnp.float32),
                 jnp.matmul(s.T, zvb, preferred_element_type=jnp.float32))
-    zv = _mm(c, v_c) + _mm(s, v_s)
-    return _mm(c.T, zv), _mm(s.T, zv)
+    zv = _fmm(c, v_c) + _fmm(s, v_s)
+    return _fmm(c.T, zv), _fmm(s.T, zv)
 
 
 def _precond_mv(u_mat, inv_eig, prefactor, v):
@@ -153,6 +161,7 @@ def fused_cg_solve_stacked(engine, rhs, lam, precond=None, max_iter=200,
     s = engine._stacked
     has_l = s["l"] is not None
     parts_fn = engine.kernel.pure_feature_parts_fn()
+    ztzv_fn = engine.kernel.pure_ztzv_parts_fn()
     positions = engine.kernel.feature_positions() if parts_fn else None
     if positions is not None:
         cos_pos = jnp.asarray(positions[0])
@@ -188,10 +197,16 @@ def fused_cg_solve_stacked(engine, rhs, lam, precond=None, max_iter=200,
                     else:
                         xb, mb = batch
                         lb = None
-                    c, si = parts_fn(params, xb, lb)
-                    c = c * mb[:, None]
-                    si = si * mb[:, None]
-                    oc, os = _parts_contract(c, si, v_c, v_s)
+                    fused = None
+                    if ztzv_fn is not None:
+                        fused = ztzv_fn(params, xb, lb, mb, v_c, v_s)
+                    if fused is not None:
+                        oc, os = fused
+                    else:
+                        c, si = parts_fn(params, xb, lb)
+                        c = c * mb[:, None]
+                        si = si * mb[:, None]
+                        oc, os = _parts_contract(c, si, v_c, v_s)
                     return (acc[0] + oc, acc[1] + os), None
                 f = cos_pos.shape[0]
                 init = (jnp.zeros((f, v.shape[-1]), v.dtype),
@@ -235,6 +250,7 @@ def fused_cg_solve_sharded(engine, rhs, lam, precond=None, max_iter=200,
     feature_fn = engine.fn
     num_rffs = engine.num_rffs
     parts_fn = engine.kernel.pure_feature_parts_fn()
+    ztzv_fn = engine.kernel.pure_ztzv_parts_fn()
     positions = engine.kernel.feature_positions() if parts_fn else None
     if positions is not None:
         cos_pos = jnp.asarray(positions[0])
@@ -260,10 +276,16 @@ def fused_cg_solve_sharded(engine, rhs, lam, precond=None, max_iter=200,
 
                 def body(acc, batch):
                     xb, lb, mb = batch
-                    c, si = parts_fn(params, xb, lb)
-                    c = c * mb[:, None]
-                    si = si * mb[:, None]
-                    oc, os = _parts_contract(c, si, v_c, v_s)
+                    fused = None
+                    if ztzv_fn is not None:
+                        fused = ztzv_fn(params, xb, lb, mb, v_c, v_s)
+                    if fused is not None:
+                        oc, os = fused
+                    else:
+                        c, si = parts_fn(params, xb, lb)
+                        c = c * mb[:, None]
+                        si = si * mb[:, None]
+                        oc, os = _parts_contract(c, si, v_c, v_s)
                     return (acc[0] + oc, acc[1] + os), None
                 f = cos_pos.shape[0]
                 init = (jnp.zeros((f, v.shape[-1]), v.dtype),

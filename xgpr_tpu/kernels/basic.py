@@ -134,6 +134,37 @@ class SORFKernelBaseclass(KernelBaseclass):
             self._parts_fn = fn
         return fn
 
+    def pure_ztzv_parts_fn(self):
+        """Fused whole-chunk matvec (ops/pallas/ztzv_pallas.py): computes
+        Z^T(Zv) cos/sin partials for one masked chunk without writing Z to
+        HBM.  Returns None when the XLA path should be used (non-dense
+        projection, matvec mode "xla", or "auto" off-TPU); the returned fn
+        itself returns None at trace time for unsupported shapes so the
+        solver can fall back per-program."""
+        from .. import config as _cfg
+        if not self.use_dense_projection:
+            return None
+        mode = _cfg.matvec_mode()
+        if mode == "xla":
+            return None
+        if mode == "auto" and _cfg.default_backend() == "cpu":
+            return None
+        intercept = self.fit_intercept
+        num_freqs = self.num_freqs
+
+        def fn(params, x, seq_len, m, v_c, v_s):
+            from ..ops.pallas.ztzv_pallas import (ztzv_shapes_ok,
+                                                  ztzv_parts_pallas)
+            if x.ndim != 2 or not ztzv_shapes_ok(
+                    x.shape[0], x.shape[1], num_freqs, x.dtype):
+                return None
+            interp = _cfg.default_backend() == "cpu"
+            return ztzv_parts_pallas(x, m, params["proj"],
+                                     params["sigma"], v_c, v_s,
+                                     intercept, num_freqs,
+                                     interpret=interp)
+        return fn
+
 
 
 @partial(jax.jit, static_argnames=("fit_intercept",))

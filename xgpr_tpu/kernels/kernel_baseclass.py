@@ -160,6 +160,13 @@ class KernelBaseclass(ABC):
         Z^T(Zv) permutation-invariantly.  None if unsupported."""
         return None
 
+    def pure_ztzv_parts_fn(self):
+        """Optional fully-fused chunk matvec:
+        fn(params, x, seq_len, mask, v_c, v_s) -> (oc, os) or None at
+        trace time when the shapes are unsupported.  None if the kernel
+        has no fused path."""
+        return None
+
     def feature_positions(self):
         """(cos_pos, sin_pos) canonical column positions per frequency
         (ops/layout.py), for solvers using the parts fast path."""

@@ -1,0 +1,184 @@
+"""Fused Pallas CG-matvec chunk op: Z^T (Z v) without materialising Z.
+
+The XLA parts path (fitting/fused_cg._parts_contract) materialises the
+(chunk, F) cos/sin feature parts to HBM and reads them back for the
+second contraction -- at 8192x4096 fp32 that is ~256 MB of HBM round
+trip per chunk, a large slice of the measured chunk time once the
+projection runs on the MXU and sincos is the cheap polynomial.
+
+This kernel instead processes a row tile per grid step entirely in VMEM:
+
+    arg = (x_tile @ proj) * sigma          (MXU, fp32-HIGHEST)
+    c, s = poly_sincos(arg) * scale        (VPU, ops/sincos.py)
+    [intercept column, row mask]
+    zv   = c @ v_c + s @ v_s               (R, K)
+    oc  += c^T zv ;  os += s^T zv          (F, K) accumulators
+
+The (F, K) outputs map to the same block on every grid step, so they
+live in VMEM for the whole call and HBM only ever sees x (read) and the
+small outputs (write).  Semantics match parts_fn + _parts_contract with
+float32/HIGHEST exactly up to fp addition order.
+
+Reference parity: this computes the same streamed Z^T(Zv) accumulation
+as the reference's cg_tools.py:26-53, restricted to one chunk.
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..sincos import _poly_sincos
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _pick_tile(n_rows, d_padded, num_freqs):
+    """Largest row tile whose working set fits the VMEM budget."""
+    for r in (512, 256, 128, 64, 32):
+        if n_rows % r != 0:
+            continue
+        # proj + x tile + (arg, c, s) + vectors/accumulators slack
+        working = 4 * (d_padded * num_freqs + r * d_padded
+                       + 3 * r * num_freqs) + 512 * 1024
+        if working <= _VMEM_BUDGET:
+            return r
+    return None
+
+
+def ztzv_shapes_ok(n_rows, d, num_freqs, dtype) -> bool:
+    """Whether the fused matvec kernel supports this configuration."""
+    if dtype not in (jnp.float32, np.float32):
+        return False
+    if num_freqs % 128 != 0:
+        return False
+    return _pick_tile(n_rows, _round_up(d, 128), num_freqs) is not None
+
+
+def _dot_high(a, b, dims):
+    """3-pass bf16 matmul (the bf16x3 scheme XLA uses for
+    Precision.HIGH, which Mosaic does not lower natively): split each
+    operand into bf16 high + bf16 residual and drop the lo*lo term.
+    Relative error ~2^-21."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, dims,
+                                   preferred_element_type=jnp.float32)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
+def _make_dot(precision):
+    if precision == "high":
+        return _dot_high
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
+    return dot
+
+
+def _ztzv_kernel(sig_ref, x_ref, m_ref, proj_ref, vc_ref, vs_ref,
+                 oc_ref, os_ref, *, scale, intercept, precision):
+    dot = _make_dot(precision)
+    cdims = (((1,), (0,)), ((), ()))     # rows x cols contraction
+    tdims = (((0,), (0,)), ((), ()))     # contract over the row axis
+    arg = dot(x_ref[:], proj_ref[:], cdims) * sig_ref[0, 0]
+    c, s = _poly_sincos(arg)
+    c = c * scale
+    s = s * scale
+    if intercept:
+        col = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+        c = jnp.where(col == 0, jnp.float32(1.0), c)
+    mb = m_ref[:]
+    c = c * mb
+    s = s * mb
+    zv = dot(c, vc_ref[:], cdims) + dot(s, vs_ref[:], cdims)
+    oc_inc = dot(c, zv, tdims)
+    os_inc = dot(s, zv, tdims)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        oc_ref[:] = oc_inc
+        os_ref[:] = os_inc
+
+    @pl.when(i != 0)
+    def _():
+        oc_ref[:] = oc_ref[:] + oc_inc
+        os_ref[:] = os_ref[:] + os_inc
+
+
+@partial(jax.jit,
+         static_argnames=("fit_intercept", "num_freqs", "interpret"))
+def ztzv_parts_pallas(x, m, proj, sigma, v_c, v_s, fit_intercept,
+                      num_freqs, interpret=False):
+    """Fused chunk matvec: returns (oc, os), each (num_freqs, K).
+
+    Args:
+        x: (chunk, D) raw input rows (NOT pre-scaled by sigma).
+        m: (chunk,) float row mask.
+        proj: (D, F) dense SORF projection, chi folded in.
+        sigma: scalar lengthscale (traced).
+        v_c / v_s: (F, K) cos/sin slices of the CG direction.
+        fit_intercept: static; canonical column 0 == 1.
+    """
+    from ..sorf import rbf_norm_constant
+    n, d = x.shape
+    dp = _round_up(d, 128)
+    if dp != d:
+        x = jnp.pad(x, ((0, 0), (0, dp - d)))
+        proj = jnp.pad(proj, ((0, dp - d), (0, 0)))
+    r = _pick_tile(n, dp, num_freqs)
+    if r is None:
+        raise ValueError("unsupported shapes for the fused matvec kernel")
+    k = v_c.shape[1]
+    scale = np.float32(rbf_norm_constant(num_freqs, fit_intercept))
+    sig = jnp.asarray(sigma, jnp.float32).reshape(1, 1)
+    m2 = m.astype(jnp.float32).reshape(n, 1)
+
+    grid = (n // r,)
+    from ... import config as _cfg
+    oc, os_ = pl.pallas_call(
+        partial(_ztzv_kernel, scale=scale, intercept=fit_intercept,
+                precision=_cfg.feature_matmul_precision()),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_freqs, k), jnp.float32),
+            jax.ShapeDtypeStruct((num_freqs, k), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((r, dp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, num_freqs), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_freqs, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_freqs, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((num_freqs, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_freqs, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(sig, x, m2, proj, v_c, v_s)
+    return oc, os_

@@ -169,7 +169,7 @@ def _feature_projection(x, proj):
         return jnp.matmul(x.astype(jnp.bfloat16),
                           proj.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
-    return jnp.matmul(x, proj, precision=_matmul_precision())
+    return jnp.matmul(x, proj, precision=feature_matmul_precision())
 
 
 def rbf_feature_map_dense(x: jnp.ndarray, proj: jnp.ndarray,
