@@ -31,6 +31,9 @@ def main():
     import jax
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import numpy as np
     from xgpr_tpu import GPRegression, build_regression_dataset
 
