@@ -82,6 +82,57 @@ def test_conv_rbf_vs_oracle(n, l, d, width, num_freqs, scaling):
     assert np.allclose(np.asarray(got), expected, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize("n,l,d,width,num_freqs,scaling", [
+    (5, 12, 4, 3, 64, 1), (4, 37, 21, 9, 500, 0), (3, 8, 2, 1, 96, 2),
+])
+def test_conv_rbf_parts_assemble_to_features(n, l, d, width, num_freqs,
+                                             scaling):
+    """The layout-free (cos, sin) parts, assembled into the canonical
+    block layout, must equal the canonical conv features exactly."""
+    from xgpr_tpu.ops.layout import assemble_cos_sin
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal((n, l, d))
+    seq_len = rng.integers(width, l + 1, size=(n,)).astype(np.int32)
+    radem, chi = _make_state(77, width * d, num_freqs)
+    sigma = 0.52
+    feats = conv_rbf_features(jnp.asarray(x), jnp.asarray(seq_len),
+                              jnp.asarray(radem), jnp.asarray(chi), sigma,
+                              width, scaling, block_size=5)
+    c, s = conv_rbf_features(jnp.asarray(x), jnp.asarray(seq_len),
+                             jnp.asarray(radem), jnp.asarray(chi), sigma,
+                             width, scaling, block_size=5, parts=True)
+    assembled = assemble_cos_sin(c, s, radem.shape[-1])
+    assert np.array_equal(np.asarray(assembled), np.asarray(feats))
+
+
+def test_conv_kernel_parts_fn_matches_feature_fn():
+    """Kernel-level parts fn (incl. intercept overwrite and the dense
+    projection path) must reproduce pure_feature_fn under assembly."""
+    from xgpr_tpu.kernels import KERNEL_NAME_TO_CLASS
+    from xgpr_tpu.ops.layout import assemble_cos_sin
+    rng = np.random.default_rng(31)
+    n, l, d, width = 7, 15, 6, 4
+    x = jnp.asarray(rng.standard_normal((n, l, d)))
+    slen = jnp.asarray(rng.integers(width, l + 1, size=(n,)),
+                       dtype=jnp.int32)
+    for intercept in (True, False):
+        kern = KERNEL_NAME_TO_CLASS["Conv1dRBF"](
+            (n, l, d), 256, 123, double_precision=True,
+            kernel_spec_parms={"conv_width": width,
+                               "intercept": intercept})
+        kern.set_hyperparams(np.log(np.array([0.1, 0.8])))
+        params = kern.feature_params()
+        feats = kern.pure_feature_fn()(params, x, slen)
+        c, s = kern.pure_feature_parts_fn()(params, x, slen)
+        assembled = assemble_cos_sin(c, s, kern.padded_dims)
+        assert np.array_equal(np.asarray(assembled), np.asarray(feats))
+        cos_pos, sin_pos = kern.feature_positions()
+        rebuilt = np.zeros_like(np.asarray(feats))
+        rebuilt[:, cos_pos] = np.asarray(c)
+        rebuilt[:, sin_pos] = np.asarray(s)
+        assert np.array_equal(rebuilt, np.asarray(feats))
+
+
 def test_conv_rbf_grad_matches_numerical():
     rng = np.random.default_rng(3)
     n, l, d, width, num_freqs = 4, 10, 3, 3, 32

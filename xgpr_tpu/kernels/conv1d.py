@@ -149,6 +149,31 @@ class ConvKernelBaseclass(KernelBaseclass):
             self._pure_fn = fn
         return fn
 
+    def pure_feature_parts_fn(self):
+        """Layout-free (cos, sin) parts: frequency-ordered halves of the
+        canonical feature vector, so the fused-CG matvec contracts
+        Z^T(Zv) without assembling the (N, 2F) block layout.  Canonical
+        column 0 is frequency 0's cos column (ops/layout.py), so the
+        intercept overwrite lands on the cos part's column 0."""
+        fn = getattr(self, "_parts_fn", None)
+        if fn is None:
+            intercept = self.fit_intercept
+            width = self.conv_width
+            scaling = self.scaling_type
+            use_dense = self.use_dense_projection
+
+            def fn(params, x, seq_len):
+                c, s = conv_rbf_features(
+                    x, seq_len, params["radem"], params["chi"],
+                    params["sigma"], width, scaling,
+                    proj=params.get("proj") if use_dense else None,
+                    parts=True)
+                if intercept:
+                    c = c.at[:, 0].set(1.0)
+                return c, s
+            self._parts_fn = fn
+        return fn
+
 
 def _require_conv_width(parms):
     if "conv_width" not in parms:

@@ -80,7 +80,8 @@ def conv_rbf_features(x: jnp.ndarray, seq_lengths: jnp.ndarray,
                       width: int, scaling_type: int = SCALING_NONE,
                       block_size: int = 32,
                       with_grad: bool = False,
-                      proj: jnp.ndarray = None):
+                      proj: jnp.ndarray = None,
+                      parts: bool = False):
     """Accumulated cos/sin conv-SORF features (optionally with d/dsigma).
 
     Args:
@@ -94,9 +95,14 @@ def conv_rbf_features(x: jnp.ndarray, seq_lengths: jnp.ndarray,
             (conv_kernel_baseclass.py:73-83).
         block_size: windows processed per scan step.
         with_grad: also return dz/dsigma of shape (N, 2F, 1).
+        parts: return the scaled (cos, sin) parts -- each (N, F) in
+            frequency order -- without the canonical layout assembly,
+            for solvers that contract permutation-invariantly
+            (fitting/fused_cg.matvec_parts).  Incompatible with
+            with_grad.
 
     Returns:
-        (N, 2F) features, or (features, dz_dsigma).
+        (N, 2F) features, or (features, dz_dsigma), or (cos, sin) parts.
     """
     n, l, d = x.shape
     num_freqs = chi.shape[0]
@@ -161,10 +167,16 @@ def conv_rbf_features(x: jnp.ndarray, seq_lengths: jnp.ndarray,
     starts = jnp.arange(nsteps, dtype=jnp.int32) * blk
 
     if with_grad:
+        if parts:
+            raise ValueError("parts and with_grad are mutually exclusive")
         init = ((zeros, zeros), (zeros, zeros))
         (acc_f, acc_g), _ = jax.lax.scan(step, init, starts)
     else:
         acc_f, _ = jax.lax.scan(step, (zeros, zeros), starts)
+
+    if parts:
+        return (acc_f[0] * row_scale[:, None],
+                acc_f[1] * row_scale[:, None])
 
     from .layout import assemble_cos_sin
     padded = radem.shape[-1]
