@@ -105,3 +105,28 @@ def test_unfitted_predict_raises(fitted):
     model = GPRegression(num_rffs=128, kernel_choice="RBF", verbose=False)
     with pytest.raises(RuntimeError):
         model.predict(np.zeros((4, 84)))
+
+
+def test_device_property(fitted):
+    model, _ = fitted
+    # CPU-only test env: 'cpu' accepted, accelerators raise, junk raises.
+    model.device = "cpu"
+    assert model.device == "cpu"
+    with pytest.raises(RuntimeError):
+        model.device = "tpu"
+    with pytest.raises(RuntimeError):
+        model.device = "nonsense"
+
+
+def test_double_precision_fht_rebuilds_kernel():
+    (trx, tr_y), _ = tabular_data(n_train=300)
+    dset = build_regression_dataset(trx, tr_y, chunk_size=150)
+    model = GPRegression(num_rffs=128, kernel_choice="RBF", verbose=False)
+    model.set_hyperparams(HPARAMS, dset)
+    assert model.double_precision_fht is False
+    hp_before = model.get_hyperparams()
+    model.double_precision_fht = True
+    assert model.kernel.double_precision
+    assert np.allclose(model.get_hyperparams(), hp_before)
+    model.fit(dset, mode="exact", suppress_var=True)
+    assert model.weights is not None

@@ -37,12 +37,15 @@ class ModelBaseclass:
         self.kernel_spec_parms = kernel_settings
         self.verbose = verbose
         self.is_regression = True
-        self.double_precision_fht = False
+        self._double_precision_fht = False
         self.exact_var_calculation = True
         self._random_seed = random_seed
         self.n_classes = 1
         self.gamma = None
         self._engines = {}
+        self._device = None
+        if device is not None:
+            self.device = device
 
     # ------------------------------------------------------------------
     def _engine(self, dataset):
@@ -318,6 +321,56 @@ class ModelBaseclass:
             self.weights = None
             self.gamma = None
             self.var = None
+
+    @property
+    def double_precision_fht(self):
+        return self._double_precision_fht
+
+    @double_precision_fht.setter
+    def double_precision_fht(self, value):
+        """Run feature generation in float64 (model_baseclass.py:572-584).
+        Our kernels snapshot their projection-state dtype at construction,
+        so flipping this rebuilds the kernel (hyperparams/bounds kept)."""
+        self._double_precision_fht = bool(value)
+        if self.kernel is not None:
+            self._initialize_kernel(
+                xdim=self.kernel.get_xdim(),
+                hyperparams=self.kernel.get_hyperparams(),
+                bounds=self.kernel.get_bounds())
+
+    @property
+    def device(self):
+        """Current compute target.  TPU-native semantics: JAX places
+        arrays at dispatch, so this reflects (and the setter changes) the
+        process-wide default device rather than migrating arrays the way
+        the reference's numpy<->cupy setter does
+        (model_baseclass.py:605-643)."""
+        if self._device is not None:
+            return self._device
+        import jax
+        return jax.default_backend()
+
+    @device.setter
+    def device(self, value):
+        import jax
+        if value not in ("cpu", "cuda", "gpu", "tpu"):
+            raise RuntimeError(
+                "Device must be in ['cpu', 'cuda', 'gpu', 'tpu'].")
+        if value == "cpu":
+            dev = jax.devices("cpu")[0]
+        else:
+            accel = [d for d in jax.devices() if d.platform != "cpu"]
+            if not accel:
+                raise RuntimeError(
+                    "You have specified an accelerator device but no "
+                    "accelerator is visible to JAX. Currently CPU-only "
+                    "fitting is available.")
+            dev = accel[0]
+        jax.config.update("jax_default_device", dev)
+        # Engines hold device-resident stacked data; rebuild on the new
+        # target.  weights/var migrate automatically at next dispatch.
+        self._engines = {}
+        self._device = value
 
     @property
     def random_seed(self):
