@@ -41,8 +41,12 @@ def main():
         jax.tree.map(lambda a: a.astype(jnp.float32)
                      if a.dtype.kind == "f" else a,
                      kernel.feature_params()), dev)
+    config.set_conv_mode("xla")
     feature_fn = kernel.pure_feature_fn()
     parts_fn = kernel.pure_feature_parts_fn()
+    config.set_conv_mode("auto")
+    parts_fn_fused = kernel.pure_feature_parts_fn() \
+        if dev.platform != "cpu" else None
 
     rng = np.random.default_rng(0)
     nch = n_rows // chunk
@@ -80,17 +84,21 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.zeros((f,), jnp.float32), x)
         return acc
 
-    def matvec_parts(x, sl, seed, v, params):
-        def body(acc, batch):
-            xb, lb = batch
-            c, s = parts_fn(params, xb + seed, lb)
-            zv = jnp.matmul(c, v, precision=prec) + \
-                jnp.matmul(s, v, precision=prec)
-            return (acc[0] + jnp.matmul(c.T, zv, precision=prec),
-                    acc[1] + jnp.matmul(s.T, zv, precision=prec)), None
-        init = (jnp.zeros((f, n_rhs), jnp.float32),) * 2
-        (a, b), _ = jax.lax.scan(body, init, (x, sl))
-        return a + b
+    def _make_matvec(pfn):
+        def matvec_parts(x, sl, seed, v, params):
+            def body(acc, batch):
+                xb, lb = batch
+                c, s = pfn(params, xb + seed, lb)
+                zv = jnp.matmul(c, v, precision=prec) + \
+                    jnp.matmul(s, v, precision=prec)
+                return (acc[0] + jnp.matmul(c.T, zv, precision=prec),
+                        acc[1] + jnp.matmul(s.T, zv, precision=prec)), None
+            init = (jnp.zeros((f, n_rhs), jnp.float32),) * 2
+            (a, b), _ = jax.lax.scan(body, init, (x, sl))
+            return a + b
+        return matvec_parts
+
+    matvec_parts = _make_matvec(parts_fn)
 
     def matvec_feats(x, sl, seed, v, params):
         def body(acc, batch):
@@ -113,6 +121,10 @@ def main():
         return float(np.median(ts))
 
     out = {}
+    if parts_fn_fused is not None:
+        out["parts_pallas"] = timeit(
+            _make_matvec(parts_fn_fused),
+            lambda i: (x, sl, seeds[i], vs[i], params))
     out["proj"] = timeit(proj_only, lambda i: (x, seeds[i], params))
     out["proj_sc"] = timeit(proj_sc, lambda i: (x, seeds[i], params))
     out["parts"] = timeit(matvec_parts,

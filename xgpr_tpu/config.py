@@ -148,6 +148,26 @@ def matvec_mode() -> str:
 
 
 # ----------------------------------------------------------------------
+# Conv feature-map implementation (see ops/pallas/conv_pallas.py).
+# "auto" (default) uses the fused Pallas window-loop kernel on TPU for
+# supported shapes and the XLA scan elsewhere; "xla" forces the scan;
+# "pallas" forces the kernel (interpret-mode on CPU -- slow, for
+# testing).  Read at trace time.
+_CONV_MODE = "auto"
+
+
+def set_conv_mode(mode: str):
+    global _CONV_MODE
+    if mode not in ("auto", "xla", "pallas"):
+        raise ValueError("conv mode must be auto, xla or pallas")
+    _CONV_MODE = mode
+
+
+def conv_mode() -> str:
+    return _CONV_MODE
+
+
+# ----------------------------------------------------------------------
 # sin/cos evaluation in the feature maps (see ops/sincos.py).  "auto"
 # (default) uses the fast shared-reduction polynomial for float32 and the
 # exact builtin for float64; "exact"/"poly" force one path.  Read at

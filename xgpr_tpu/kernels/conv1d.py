@@ -131,47 +131,109 @@ class ConvKernelBaseclass(KernelBaseclass):
         return params
 
     def pure_feature_fn(self):
-        fn = getattr(self, "_pure_fn", None)
-        if fn is None:
-            intercept = self.fit_intercept
-            width = self.conv_width
-            scaling = self.scaling_type
-            use_dense = self.use_dense_projection
+        pallas_ok = self._pallas_conv_allowed()
+        cached = getattr(self, "_pure_fn", None)
+        if cached is not None and cached[0] == pallas_ok:
+            return cached[1]
+        intercept = self.fit_intercept
+        width = self.conv_width
+        scaling = self.scaling_type
+        use_dense = self.use_dense_projection
+        padded = self.padded_dims
+
+        if pallas_ok:
+            # Canonical features via the fused parts kernel + block-layout
+            # assembly (one (N, 2F) relayout vs the XLA path's multi-GB
+            # window intermediate).  Falls back inside parts_fn when the
+            # shapes are unsupported.
+            parts_fn = self.pure_feature_parts_fn()
 
             def fn(params, x, seq_len):
-                feats = conv_rbf_features(
-                    x, seq_len, params["radem"], params["chi"],
-                    params["sigma"], width, scaling,
-                    proj=params.get("proj") if use_dense else None)
-                if intercept:
-                    feats = feats.at[:, 0].set(1.0)
-                return feats
-            self._pure_fn = fn
+                from ..ops.layout import assemble_cos_sin
+                c, s = parts_fn(params, x, seq_len)
+                return assemble_cos_sin(c, s, padded)
+            self._pure_fn = (pallas_ok, fn)
+            return fn
+
+        def fn(params, x, seq_len):
+            feats = conv_rbf_features(
+                x, seq_len, params["radem"], params["chi"],
+                params["sigma"], width, scaling,
+                proj=params.get("proj") if use_dense else None)
+            if intercept:
+                feats = feats.at[:, 0].set(1.0)
+            return feats
+        self._pure_fn = (pallas_ok, fn)
         return fn
+
+    def _pallas_conv_allowed(self):
+        """Static (Python-time) gate for the fused Pallas conv kernel."""
+        from .. import config as _cfg
+        if not self.use_dense_projection:
+            return False
+        mode = _cfg.conv_mode()
+        if mode == "xla":
+            return False
+        if mode == "auto" and _cfg.default_backend() == "cpu":
+            return False
+        return True
 
     def pure_feature_parts_fn(self):
         """Layout-free (cos, sin) parts: frequency-ordered halves of the
         canonical feature vector, so the fused-CG matvec contracts
         Z^T(Zv) without assembling the (N, 2F) block layout.  Canonical
         column 0 is frequency 0's cos column (ops/layout.py), so the
-        intercept overwrite lands on the cos part's column 0."""
-        fn = getattr(self, "_parts_fn", None)
-        if fn is None:
-            intercept = self.fit_intercept
-            width = self.conv_width
-            scaling = self.scaling_type
-            use_dense = self.use_dense_projection
+        intercept overwrite lands on the cos part's column 0.
 
-            def fn(params, x, seq_len):
+        On TPU (config.set_conv_mode "auto"/"pallas") the masked window
+        loop runs as one fused Pallas kernel
+        (ops/pallas/conv_pallas.py); row averaging and the intercept are
+        applied here on the (N, F) parts."""
+        pallas_ok = self._pallas_conv_allowed()
+        cached = getattr(self, "_parts_fn", None)
+        if cached is not None and cached[0] == pallas_ok:
+            return cached[1]
+        intercept = self.fit_intercept
+        width = self.conv_width
+        scaling = self.scaling_type
+        use_dense = self.use_dense_projection
+        num_freqs = self.num_freqs
+
+        def fn(params, x, seq_len):
+            from ..ops.pallas.conv_pallas import (conv_parts_shapes_ok,
+                                                  conv_parts_pallas)
+            from .. import config as _cfg
+            nw = x.shape[1] - width + 1
+            if pallas_ok and x.ndim == 3 and conv_parts_shapes_ok(
+                    nw, width * x.shape[2], num_freqs, x.dtype):
+                interp = _cfg.default_backend() == "cpu"
+                c, s = conv_parts_pallas(
+                    x, seq_len, params["proj"], params["sigma"],
+                    width, num_freqs, interpret=interp)
+                from ..ops.sorf import rbf_norm_constant
+                from ..ops.conv import (_num_kmers, SCALING_SQRT,
+                                        SCALING_FULL)
+                base = rbf_norm_constant(num_freqs,
+                                         fit_intercept=False)
+                nk = _num_kmers(seq_len, width)
+                if scaling == SCALING_SQRT:
+                    row_scale = base / jnp.sqrt(nk.astype(c.dtype))
+                elif scaling == SCALING_FULL:
+                    row_scale = base / nk.astype(c.dtype)
+                else:
+                    row_scale = jnp.full((x.shape[0],), base, c.dtype)
+                c = c * row_scale[:, None]
+                s = s * row_scale[:, None]
+            else:
                 c, s = conv_rbf_features(
                     x, seq_len, params["radem"], params["chi"],
                     params["sigma"], width, scaling,
                     proj=params.get("proj") if use_dense else None,
                     parts=True)
-                if intercept:
-                    c = c.at[:, 0].set(1.0)
-                return c, s
-            self._parts_fn = fn
+            if intercept:
+                c = c.at[:, 0].set(1.0)
+            return c, s
+        self._parts_fn = (pallas_ok, fn)
         return fn
 
 

@@ -1,0 +1,175 @@
+"""Fused Pallas conv-SORF feature-parts kernel.
+
+The XLA conv path (ops/conv.py) materialises the (rows, windows, F)
+window-projection intermediate to HBM between the conv and the
+sincos+mask+reduce fusion -- ~4 GB round-trip per 2048x120x4096 chunk,
+measured ~35 ms/chunk on-chip (scripts/conv_matvec_profile.py) against a
+~6 ms compute bound.
+
+This kernel keeps the window axis entirely in VMEM.  The input is the
+im2col patch array xw (rows, windows, w*D) built by
+``lax.conv_general_dilated_patches`` (a cheap strided gather: w*D per
+window instead of F).  Per grid step (row tile i, frequency tile j,
+window block k):
+
+    arg = (xw[i,k] as (Rd*Bw, P)) @ proj[:, j] * sigma   (MXU)
+    c, s = poly_sincos(arg)                              (VPU)
+    oc[i,j] += sum_over_window_block(c * mask[i,k])      (VPU)
+    os[i,j] += sum_over_window_block(s * mask[i,k])
+
+The (Rd, Ft) output accumulators map to the same block for every k, so
+they stay resident in VMEM; HBM sees only xw (read once per frequency
+tile) and the small (rows, F) cos/sin parts (written once).  Row scaling
+(averaging) and the intercept column are applied by the caller on the
+(rows, F) parts -- semantics match conv_rbf_features(parts=True) with
+float32 exactly up to fp addition order.
+
+Reference parity: computes the same accumulated k-mer cos/sin features
+as the reference's cpuConv1dFGen window loop
+(convolution_ops/rbf_convolution.cpp:96-133), restricted to one chunk.
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..sincos import _poly_sincos
+from .ztzv_pallas import _make_dot, _round_up
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+_RD = 16    # datapoint rows per tile
+_BW = 16    # windows per block
+_FT = 2048  # frequency tile
+
+
+def _tile_plan(num_freqs):
+    """Frequency tile: largest of (2048, 1024, ..., 128) dividing F."""
+    for ft in (2048, 1024, 512, 256, 128):
+        if num_freqs % ft == 0:
+            working = 4 * (2 * 256 * ft            # proj double-buffered
+                           + 3 * _RD * _BW * ft    # arg/c/s temps
+                           + 4 * _RD * ft)         # oc/os double-buffered
+            if working <= _VMEM_BUDGET:
+                return ft
+    return None
+
+
+def conv_parts_shapes_ok(num_windows, wd, num_freqs, dtype) -> bool:
+    """Whether the fused conv kernel supports this configuration."""
+    if dtype not in (jnp.float32, np.float32):
+        return False
+    if num_freqs % 128 != 0:
+        return False
+    if num_windows < _BW // 2:   # tiny window counts: XLA path is fine
+        return False
+    if _round_up(wd, 128) > 1024:  # conv_width*D beyond one VMEM stripe
+        return False
+    return _tile_plan(num_freqs) is not None
+
+
+def _conv_parts_kernel(sig_ref, xw_ref, m_ref, proj_ref, oc_ref, os_ref,
+                       *, precision):
+    dot = _make_dot(precision)
+    cdims = (((1,), (0,)), ((), ()))
+    rd, bw, p = xw_ref.shape
+    ft = proj_ref.shape[1]
+    xwb = xw_ref[:].reshape(rd * bw, p)
+    arg = dot(xwb, proj_ref[:], cdims) * sig_ref[0, 0]
+    c, s = _poly_sincos(arg)
+    m = m_ref[:]                       # (Rd, Bw, 1); lane-broadcasts
+    cs = jnp.sum(c.reshape(rd, bw, ft) * m, axis=1)
+    ss = jnp.sum(s.reshape(rd, bw, ft) * m, axis=1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        oc_ref[:] = cs
+        os_ref[:] = ss
+
+    @pl.when(k != 0)
+    def _():
+        oc_ref[:] = oc_ref[:] + cs
+        os_ref[:] = os_ref[:] + ss
+
+
+@partial(jax.jit, static_argnames=("width", "num_freqs", "interpret"))
+def conv_parts_pallas(x, seq_lengths, proj, sigma, width, num_freqs,
+                      interpret=False):
+    """Unscaled conv-SORF (cos, sin) parts, each (N, F) frequency-ordered.
+
+    Args:
+        x: (N, L, D) zero-padded sequences (NOT pre-scaled by sigma).
+        seq_lengths: (N,) int sequence lengths.
+        proj: (w*D, F) dense SORF projection in window-major row order
+            (t*D + c), chi folded in.
+        sigma: scalar lengthscale (traced).
+        width: conv width (static).
+        num_freqs: F (static, multiple of 128).
+
+    Returns:
+        (c, s) -- the masked window sums WITHOUT row averaging or the
+        intercept column (the caller applies both; see
+        ConvKernelBaseclass.pure_feature_parts_fn).
+    """
+    n, l, d = x.shape
+    nw = l - width + 1
+    wd = width * d
+    ft = _tile_plan(num_freqs)
+    if ft is None:
+        raise ValueError("unsupported shapes for the fused conv kernel")
+
+    # im2col patches, channel-major (c*width + t) feature order -- so the
+    # projection rows are permuted to match (cheap: (wD, F) gather once).
+    xw = jax.lax.conv_general_dilated_patches(
+        x, filter_shape=(width,), window_strides=(1,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    t_idx = np.arange(wd) % width
+    c_idx = np.arange(wd) // width
+    perm = t_idx * d + c_idx            # row c*w+t of xw <- row t*d+c
+    proj_cm = proj[perm]
+
+    p = _round_up(wd, 128)
+    nwp = _round_up(nw, _BW)
+    np_rows = _round_up(n, _RD)
+    xw = jnp.pad(xw, ((0, np_rows - n), (0, nwp - nw), (0, p - wd)))
+    proj_cm = jnp.pad(proj_cm, ((0, p - wd), (0, 0)))
+
+    nk = seq_lengths.astype(jnp.int32) - width + 1
+    nk = jnp.pad(nk, (0, np_rows - n))
+    widx = jnp.arange(nwp, dtype=jnp.int32)
+    mask = (widx[None, :] < nk[:, None]).astype(jnp.float32)[:, :, None]
+
+    sig = jnp.asarray(sigma, jnp.float32).reshape(1, 1)
+    grid = (np_rows // _RD, num_freqs // ft, nwp // _BW)
+    from ... import config as _cfg
+    c, s = pl.pallas_call(
+        partial(_conv_parts_kernel,
+                precision=_cfg.feature_matmul_precision()),
+        out_shape=(
+            jax.ShapeDtypeStruct((np_rows, num_freqs), jnp.float32),
+            jax.ShapeDtypeStruct((np_rows, num_freqs), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_RD, _BW, p), lambda i, j, k: (i, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_RD, _BW, 1), lambda i, j, k: (i, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, ft), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_RD, ft), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_RD, ft), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(sig, xw, mask, proj_cm)
+    return c[:n], s[:n]
