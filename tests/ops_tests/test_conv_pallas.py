@@ -97,3 +97,27 @@ def test_conv_kernel_forced_pallas_matches_xla_end_to_end():
     from xgpr_tpu.ops.layout import assemble_cos_sin
     z_ref = assemble_cos_sin(c_p, s_p, kern.padded_dims)
     assert np.array_equal(np.asarray(z_p), np.asarray(z_ref))
+
+
+def test_conv_maxpool_pallas_matches_xla():
+    """Forced-pallas maxpool features (interpret mode) equal the XLA
+    window-scan maxpool path."""
+    from xgpr_tpu import config as _cfg
+    from xgpr_tpu.ops.conv import conv_maxpool_features
+    rng = np.random.default_rng(13)
+    n, l, d, width, num_freqs = 20, 33, 10, 7, 256
+    x = jnp.asarray(rng.standard_normal((n, l, d)).astype(np.float32))
+    seq_len = jnp.asarray(rng.integers(width, l + 1, size=(n,)),
+                          dtype=jnp.int32)
+    radem, chi, proj = _state(21, width * d, num_freqs)
+    got_x = conv_maxpool_features(x, seq_len, jnp.asarray(radem),
+                                  jnp.asarray(chi), width, proj=proj)
+    _cfg.set_conv_mode("pallas")
+    try:
+        got_p = conv_maxpool_features(x, seq_len, jnp.asarray(radem),
+                                      jnp.asarray(chi), width, proj=proj)
+    finally:
+        _cfg.set_conv_mode("auto")
+    ref = np.asarray(got_x)
+    tol = 3e-5 * max(1.0, np.abs(ref).max())
+    assert np.abs(np.asarray(got_p) - ref).max() < tol

@@ -186,6 +186,7 @@ class FHTMaxpoolConv1dFeatureExtractor:
                  random_seed=123, double_precision=False):
         self.num_features = int(num_features)
         self.conv_width = int(conv_width)
+        self.seq_width = int(seq_width)
         sdtype = np.float64 if double_precision else np.float32
         padded = next_pow2(self.conv_width * seq_width)
         nblocks = max(1, ceil(self.num_features / padded))
@@ -194,11 +195,31 @@ class FHTMaxpoolConv1dFeatureExtractor:
         self.chi_arr = jnp.asarray(
             state_rng.chi_scaling(random_seed, padded, self.num_features,
                                   sdtype))
+        from ..ops.sorf import dense_threshold_ok
+        self.use_dense_projection = dense_threshold_ok(
+            self.conv_width * seq_width, self.num_features)
+        self._dense_proj_cache = {}
+
+    def _dense_proj(self, dtype):
+        from ..ops.sorf import dense_sorf_projection
+        key = jnp.dtype(dtype).name
+        proj = self._dense_proj_cache.get(key)
+        if proj is None:
+            proj = dense_sorf_projection(self.radem_diag.astype(dtype),
+                                         self.chi_arr.astype(dtype),
+                                         self.conv_width * self.seq_width)
+            self._dense_proj_cache = {key: proj}
+        return proj
 
     def transform_x(self, input_x, sequence_length):
         from .. import config
         x = jnp.asarray(input_x, dtype=config.fp_dtype())
         slen = jnp.asarray(sequence_length, dtype=jnp.int32)
+        if self.use_dense_projection:
+            return _maxpool_transform_dense(
+                x, slen, self.radem_diag.astype(x.dtype),
+                self.chi_arr.astype(x.dtype), self.conv_width,
+                self._dense_proj(x.dtype))
         return _maxpool_transform(x, slen,
                                   self.radem_diag.astype(x.dtype),
                                   self.chi_arr.astype(x.dtype),

@@ -205,6 +205,20 @@ def conv_maxpool_features(x: jnp.ndarray, seq_lengths: jnp.ndarray,
     num_windows = l - width + 1
     if num_windows < 1:
         raise ValueError("Sequence axis shorter than conv_width.")
+
+    if proj is not None and x.dtype == jnp.float32:
+        from ..config import conv_mode, default_backend
+        mode = conv_mode()
+        on_accel = default_backend() != "cpu"
+        if mode == "pallas" or (mode == "auto" and on_accel):
+            from .pallas.conv_pallas import (conv_parts_shapes_ok,
+                                             conv_maxpool_pallas)
+            if conv_parts_shapes_ok(num_windows, width * d, num_freqs,
+                                    x.dtype):
+                return conv_maxpool_pallas(x, seq_lengths, proj, width,
+                                           num_freqs,
+                                           interpret=not on_accel)
+
     blk = min(block_size, num_windows)
     nsteps = -(-num_windows // blk)
 

@@ -96,6 +96,86 @@ def _conv_parts_kernel(sig_ref, xw_ref, m_ref, proj_ref, oc_ref, os_ref,
         os_ref[:] = os_ref[:] + ss
 
 
+def _conv_maxpool_kernel(xw_ref, m_ref, proj_ref, out_ref, *, precision):
+    dot = _make_dot(precision)
+    cdims = (((1,), (0,)), ((), ()))
+    rd, bw, p = xw_ref.shape
+    ft = proj_ref.shape[1]
+    xwb = xw_ref[:].reshape(rd * bw, p)
+    g = dot(xwb, proj_ref[:], cdims).reshape(rd, bw, ft)
+    neg = jnp.float32(-np.inf)
+    g = jnp.where(m_ref[:] > 0.5, g, neg)
+    blockmax = jnp.max(g, axis=1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        # zero-initialised output == implicit ReLU threshold
+        # (conv1d_operations.cpp:22-168).
+        out_ref[:] = jnp.maximum(blockmax, 0.0)
+
+    @pl.when(k != 0)
+    def _():
+        out_ref[:] = jnp.maximum(out_ref[:], blockmax)
+
+
+@partial(jax.jit, static_argnames=("width", "num_freqs", "interpret"))
+def conv_maxpool_pallas(x, seq_lengths, proj, width, num_freqs,
+                        interpret=False):
+    """ReLU + global-maxpool conv SORF features, (N, F) float32.
+
+    Same VMEM window loop as conv_parts_pallas with the masked window
+    sum replaced by a running elementwise max against a zero-initialised
+    output (no sigma, no cos/sin) -- matching
+    ops/conv.py::conv_maxpool_features.
+    """
+    n, l, d = x.shape
+    nw = l - width + 1
+    wd = width * d
+    ft = _tile_plan(num_freqs)
+    if ft is None:
+        raise ValueError("unsupported shapes for the fused conv kernel")
+
+    xw = jax.lax.conv_general_dilated_patches(
+        x, filter_shape=(width,), window_strides=(1,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    t_idx = np.arange(wd) % width
+    c_idx = np.arange(wd) // width
+    proj_cm = proj[t_idx * d + c_idx]
+
+    p = _round_up(wd, 128)
+    nwp = _round_up(nw, _BW)
+    np_rows = _round_up(n, _RD)
+    xw = jnp.pad(xw, ((0, np_rows - n), (0, nwp - nw), (0, p - wd)))
+    proj_cm = jnp.pad(proj_cm, ((0, p - wd), (0, 0)))
+
+    nk = seq_lengths.astype(jnp.int32) - width + 1
+    nk = jnp.pad(nk, (0, np_rows - n))
+    widx = jnp.arange(nwp, dtype=jnp.int32)
+    mask = (widx[None, :] < nk[:, None]).astype(jnp.float32)[:, :, None]
+
+    grid = (np_rows // _RD, num_freqs // ft, nwp // _BW)
+    from ... import config as _cfg
+    out = pl.pallas_call(
+        partial(_conv_maxpool_kernel,
+                precision=_cfg.feature_matmul_precision()),
+        out_shape=jax.ShapeDtypeStruct((np_rows, num_freqs), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_RD, _BW, p), lambda i, j, k: (i, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_RD, _BW, 1), lambda i, j, k: (i, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, ft), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_RD, ft), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xw, mask, proj_cm)
+    return out[:n]
+
+
 @partial(jax.jit, static_argnames=("width", "num_freqs", "interpret"))
 def conv_parts_pallas(x, seq_lengths, proj, sigma, width, num_freqs,
                       interpret=False):
