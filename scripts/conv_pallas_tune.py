@@ -40,6 +40,12 @@ def main():
         conv_pallas._RD, conv_pallas._BW, conv_pallas._FT = 8, 8, 2048
     elif variant == "exact_sc":
         config.set_sincos_mode("exact")
+    elif variant.startswith("rd") and "bw" in variant and "ft" in variant:
+        import re
+        m = re.fullmatch(r"rd(\d+)bw(\d+)ft(\d+)", variant)
+        conv_pallas._RD = int(m.group(1))
+        conv_pallas._BW = int(m.group(2))
+        conv_pallas._FT = int(m.group(3))
 
     accel = [d for d in jax.devices() if d.platform != "cpu"]
     dev = accel[0] if accel else jax.devices()[0]

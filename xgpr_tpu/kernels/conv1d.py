@@ -100,6 +100,17 @@ class ConvKernelBaseclass(KernelBaseclass):
 
     def kernel_specific_transform(self, input_x, sequence_length=None):
         self._require_lengths(input_x, sequence_length)
+        if self._pallas_conv_allowed() and \
+                input_x.dtype == jnp.float32:
+            # Route through the (jitted) pure feature fn so one-shot
+            # transforms (KernelFGen, sampled sketches) use the fused
+            # Pallas window loop too.  pure_feature_fn applies the
+            # intercept column; transform_x re-applies it, idempotently.
+            fn = getattr(self, "_jit_transform", None)
+            if fn is None:
+                fn = jax.jit(self.pure_feature_fn())
+                self._jit_transform = fn
+            return fn(self.feature_params(), input_x, sequence_length)
         sigma = jnp.asarray(self.hyperparams[1], dtype=input_x.dtype)
         proj = self._dense_proj(input_x.dtype) \
             if self.use_dense_projection else None
