@@ -40,6 +40,11 @@ def main():
         conv_pallas._RD, conv_pallas._BW, conv_pallas._FT = 8, 8, 2048
     elif variant == "exact_sc":
         config.set_sincos_mode("exact")
+    elif variant == "split":
+        conv_pallas._SPLIT = True
+    elif variant == "split_bw32":
+        conv_pallas._SPLIT = True
+        conv_pallas._RD, conv_pallas._BW = 16, 32
     elif variant.startswith("rd") and "bw" in variant and "ft" in variant:
         import re
         m = re.fullmatch(r"rd(\d+)bw(\d+)ft(\d+)", variant)

@@ -44,6 +44,7 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 _RD = 16    # datapoint rows per tile
 _BW = 16    # windows per block
 _FT = 2048  # frequency tile
+_SPLIT = False  # interleave two half-blocks (MXU/VPU overlap experiment)
 
 
 def _tile_plan(num_freqs):
@@ -77,12 +78,31 @@ def _conv_parts_kernel(sig_ref, xw_ref, m_ref, proj_ref, oc_ref, os_ref,
     cdims = (((1,), (0,)), ((), ()))
     rd, bw, p = xw_ref.shape
     ft = proj_ref.shape[1]
-    xwb = xw_ref[:].reshape(rd * bw, p)
-    arg = dot(xwb, proj_ref[:], cdims) * sig_ref[0, 0]
-    c, s = _poly_sincos(arg)
-    m = m_ref[:]                       # (Rd, Bw, 1); lane-broadcasts
-    cs = jnp.sum(c.reshape(rd, bw, ft) * m, axis=1)
-    ss = jnp.sum(s.reshape(rd, bw, ft) * m, axis=1)
+    if _SPLIT and bw % 2 == 0:
+        # Two half-blocks with the MXU projection of the second issued
+        # between the first's VPU sincos/reduce chains, giving the
+        # scheduler independent MXU and VPU work to overlap.
+        h = bw // 2
+        xa = xw_ref[:, :h, :].reshape(rd * h, p)
+        xb = xw_ref[:, h:, :].reshape(rd * h, p)
+        proj = proj_ref[:]
+        arg_a = dot(xa, proj, cdims) * sig_ref[0, 0]
+        arg_b = dot(xb, proj, cdims) * sig_ref[0, 0]
+        ca, sa = _poly_sincos(arg_a)
+        cb, sb = _poly_sincos(arg_b)
+        ma = m_ref[:, :h, :]
+        mb = m_ref[:, h:, :]
+        cs = jnp.sum(ca.reshape(rd, h, ft) * ma, axis=1) + \
+            jnp.sum(cb.reshape(rd, h, ft) * mb, axis=1)
+        ss = jnp.sum(sa.reshape(rd, h, ft) * ma, axis=1) + \
+            jnp.sum(sb.reshape(rd, h, ft) * mb, axis=1)
+    else:
+        xwb = xw_ref[:].reshape(rd * bw, p)
+        arg = dot(xwb, proj_ref[:], cdims) * sig_ref[0, 0]
+        c, s = _poly_sincos(arg)
+        m = m_ref[:]                   # (Rd, Bw, 1); lane-broadcasts
+        cs = jnp.sum(c.reshape(rd, bw, ft) * m, axis=1)
+        ss = jnp.sum(s.reshape(rd, bw, ft) * m, axis=1)
     k = pl.program_id(2)
 
     @pl.when(k == 0)
