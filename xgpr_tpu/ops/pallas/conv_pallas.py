@@ -47,13 +47,16 @@ _FT = 2048  # frequency tile
 _SPLIT = False  # interleave two half-blocks (MXU/VPU overlap experiment)
 
 
-def _tile_plan(num_freqs):
-    """Frequency tile: largest of (2048, 1024, ..., 128) dividing F."""
+def _tile_plan(num_freqs, wd_padded):
+    """Frequency tile: largest of (2048, 1024, ..., 128) dividing F whose
+    working set (double-buffered proj + xw block + arg/cos/sin temps +
+    double-buffered accumulators) fits the VMEM budget."""
     for ft in (2048, 1024, 512, 256, 128):
         if num_freqs % ft == 0:
-            working = 4 * (2 * 256 * ft            # proj double-buffered
-                           + 3 * _RD * _BW * ft    # arg/c/s temps
-                           + 4 * _RD * ft)         # oc/os double-buffered
+            working = 4 * (2 * wd_padded * ft        # proj, 2 buffers
+                           + 2 * _RD * _BW * wd_padded  # xw block
+                           + 3 * _RD * _BW * ft      # arg/c/s temps
+                           + 4 * _RD * ft)           # oc/os, 2 buffers
             if working <= _VMEM_BUDGET:
                 return ft
     return None
@@ -69,7 +72,7 @@ def conv_parts_shapes_ok(num_windows, wd, num_freqs, dtype) -> bool:
         return False
     if _round_up(wd, 128) > 1024:  # conv_width*D beyond one VMEM stripe
         return False
-    return _tile_plan(num_freqs) is not None
+    return _tile_plan(num_freqs, _round_up(wd, 128)) is not None
 
 
 def _conv_parts_kernel(sig_ref, xw_ref, m_ref, proj_ref, oc_ref, os_ref,
@@ -152,7 +155,7 @@ def conv_maxpool_pallas(x, seq_lengths, proj, width, num_freqs,
     n, l, d = x.shape
     nw = l - width + 1
     wd = width * d
-    ft = _tile_plan(num_freqs)
+    ft = _tile_plan(num_freqs, _round_up(wd, 128))
     if ft is None:
         raise ValueError("unsupported shapes for the fused conv kernel")
 
@@ -218,7 +221,7 @@ def conv_parts_pallas(x, seq_lengths, proj, sigma, width, num_freqs,
     n, l, d = x.shape
     nw = l - width + 1
     wd = width * d
-    ft = _tile_plan(num_freqs)
+    ft = _tile_plan(num_freqs, _round_up(wd, 128))
     if ft is None:
         raise ValueError("unsupported shapes for the fused conv kernel")
 
