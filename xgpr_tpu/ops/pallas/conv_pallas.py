@@ -43,15 +43,17 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 _RD = 16    # datapoint rows per tile
 _BW = 16    # windows per block
-_FT = 2048  # frequency tile
+_FT = 2048  # frequency tile cap
 _SPLIT = False  # interleave two half-blocks (MXU/VPU overlap experiment)
 
 
 def _tile_plan(num_freqs, wd_padded):
-    """Frequency tile: largest of (2048, 1024, ..., 128) dividing F whose
+    """Frequency tile: largest of (_FT, ..., 128) dividing F whose
     working set (double-buffered proj + xw block + arg/cos/sin temps +
     double-buffered accumulators) fits the VMEM budget."""
     for ft in (2048, 1024, 512, 256, 128):
+        if ft > _FT:
+            continue
         if num_freqs % ft == 0:
             working = 4 * (2 * wd_padded * ft        # proj, 2 buffers
                            + 2 * _RD * _BW * wd_padded  # xw block
