@@ -47,17 +47,25 @@ _FT = 2048  # frequency tile cap
 _SPLIT = False  # interleave two half-blocks (MXU/VPU overlap experiment)
 
 
-def _tile_plan(num_freqs, wd_padded):
+def _window_block(num_windows):
+    """Windows per grid step: _BW, shrunk (in sublane-aligned steps) for
+    short sequences so padded windows don't dominate the work."""
+    return min(_BW, _round_up(num_windows, 8))
+
+
+def _tile_plan(num_freqs, wd_padded, bw=None):
     """Frequency tile: largest of (_FT, ..., 128) dividing F whose
     working set (double-buffered proj + xw block + arg/cos/sin temps +
     double-buffered accumulators) fits the VMEM budget."""
+    if bw is None:
+        bw = _BW
     for ft in (2048, 1024, 512, 256, 128):
         if ft > _FT:
             continue
         if num_freqs % ft == 0:
             working = 4 * (2 * wd_padded * ft        # proj, 2 buffers
-                           + 2 * _RD * _BW * wd_padded  # xw block
-                           + 3 * _RD * _BW * ft      # arg/c/s temps
+                           + 2 * _RD * bw * wd_padded   # xw block
+                           + 3 * _RD * bw * ft       # arg/c/s temps
                            + 4 * _RD * ft)           # oc/os, 2 buffers
             if working <= _VMEM_BUDGET:
                 return ft
@@ -70,11 +78,12 @@ def conv_parts_shapes_ok(num_windows, wd, num_freqs, dtype) -> bool:
         return False
     if num_freqs % 128 != 0:
         return False
-    if num_windows < _BW // 2:   # tiny window counts: XLA path is fine
+    if num_windows < 4:          # tiny window counts: XLA path is fine
         return False
     if _round_up(wd, 128) > 1024:  # conv_width*D beyond one VMEM stripe
         return False
-    return _tile_plan(num_freqs, _round_up(wd, 128)) is not None
+    return _tile_plan(num_freqs, _round_up(wd, 128),
+                      _window_block(num_windows)) is not None
 
 
 def _conv_parts_kernel(sig_ref, xw_ref, m_ref, proj_ref, oc_ref, os_ref,
@@ -157,7 +166,8 @@ def conv_maxpool_pallas(x, seq_lengths, proj, width, num_freqs,
     n, l, d = x.shape
     nw = l - width + 1
     wd = width * d
-    ft = _tile_plan(num_freqs, _round_up(wd, 128))
+    bw = _window_block(nw)
+    ft = _tile_plan(num_freqs, _round_up(wd, 128), bw)
     if ft is None:
         raise ValueError("unsupported shapes for the fused conv kernel")
 
@@ -169,7 +179,7 @@ def conv_maxpool_pallas(x, seq_lengths, proj, width, num_freqs,
     proj_cm = proj[t_idx * d + c_idx]
 
     p = _round_up(wd, 128)
-    nwp = _round_up(nw, _BW)
+    nwp = _round_up(nw, bw)
     np_rows = _round_up(n, _RD)
     xw = jnp.pad(xw, ((0, np_rows - n), (0, nwp - nw), (0, p - wd)))
     proj_cm = jnp.pad(proj_cm, ((0, p - wd), (0, 0)))
@@ -179,7 +189,7 @@ def conv_maxpool_pallas(x, seq_lengths, proj, width, num_freqs,
     widx = jnp.arange(nwp, dtype=jnp.int32)
     mask = (widx[None, :] < nk[:, None]).astype(jnp.float32)[:, :, None]
 
-    grid = (np_rows // _RD, num_freqs // ft, nwp // _BW)
+    grid = (np_rows // _RD, num_freqs // ft, nwp // bw)
     from ... import config as _cfg
     out = pl.pallas_call(
         partial(_conv_maxpool_kernel,
@@ -187,9 +197,9 @@ def conv_maxpool_pallas(x, seq_lengths, proj, width, num_freqs,
         out_shape=jax.ShapeDtypeStruct((np_rows, num_freqs), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_RD, _BW, p), lambda i, j, k: (i, k, 0),
+            pl.BlockSpec((_RD, bw, p), lambda i, j, k: (i, k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RD, _BW, 1), lambda i, j, k: (i, k, 0),
+            pl.BlockSpec((_RD, bw, 1), lambda i, j, k: (i, k, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((p, ft), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
@@ -223,7 +233,8 @@ def conv_parts_pallas(x, seq_lengths, proj, sigma, width, num_freqs,
     n, l, d = x.shape
     nw = l - width + 1
     wd = width * d
-    ft = _tile_plan(num_freqs, _round_up(wd, 128))
+    bw = _window_block(nw)
+    ft = _tile_plan(num_freqs, _round_up(wd, 128), bw)
     if ft is None:
         raise ValueError("unsupported shapes for the fused conv kernel")
 
@@ -238,7 +249,7 @@ def conv_parts_pallas(x, seq_lengths, proj, sigma, width, num_freqs,
     proj_cm = proj[perm]
 
     p = _round_up(wd, 128)
-    nwp = _round_up(nw, _BW)
+    nwp = _round_up(nw, bw)
     np_rows = _round_up(n, _RD)
     xw = jnp.pad(xw, ((0, np_rows - n), (0, nwp - nw), (0, p - wd)))
     proj_cm = jnp.pad(proj_cm, ((0, p - wd), (0, 0)))
@@ -249,7 +260,7 @@ def conv_parts_pallas(x, seq_lengths, proj, sigma, width, num_freqs,
     mask = (widx[None, :] < nk[:, None]).astype(jnp.float32)[:, :, None]
 
     sig = jnp.asarray(sigma, jnp.float32).reshape(1, 1)
-    grid = (np_rows // _RD, num_freqs // ft, nwp // _BW)
+    grid = (np_rows // _RD, num_freqs // ft, nwp // bw)
     from ... import config as _cfg
     c, s = pl.pallas_call(
         partial(_conv_parts_kernel,
@@ -262,9 +273,9 @@ def conv_parts_pallas(x, seq_lengths, proj, sigma, width, num_freqs,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((_RD, _BW, p), lambda i, j, k: (i, k, 0),
+            pl.BlockSpec((_RD, bw, p), lambda i, j, k: (i, k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RD, _BW, 1), lambda i, j, k: (i, k, 0),
+            pl.BlockSpec((_RD, bw, 1), lambda i, j, k: (i, k, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((p, ft), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
