@@ -93,3 +93,36 @@ def test_two_layer_conv_pipeline(sequences):
     model.fit(dset, mode="exact", suppress_var=True)
     rho = spearman(model.predict(tex, sequence_lengths=tel), te_y)
     assert rho > 0.3
+
+
+@pytest.mark.parametrize("kernel,settings", [
+    ("Conv1dMatern", {"conv_width": 5, "matern_nu": 3 / 2}),
+    ("Conv1dCauchy", {"conv_width": 5}),
+    ("GraphMatern", {"matern_nu": 5 / 2}),
+    ("GraphCauchy", {}),
+])
+def test_conv_chi_variant_kernels(sequences, kernel, settings):
+    """Matern/Cauchy conv and graph variants: the chi modification must
+    change the features vs the RBF baseline, and an exact fit must
+    produce finite, non-trivial held-out predictions."""
+    dset, tex, te_y, tel = sequences
+    import numpy as np
+    model = GPRegression(num_rffs=512, kernel_choice=kernel,
+                         kernel_settings=settings, verbose=False)
+    model.tune_hyperparams_crude(dset, max_bayes_iter=10)
+    base_name = "GraphRBF" if kernel.startswith("Graph") else "Conv1dRBF"
+    base_settings = {k: v for k, v in settings.items()
+                     if k != "matern_nu"}
+    base = GPRegression(num_rffs=512, kernel_choice=base_name,
+                        kernel_settings=base_settings, verbose=False)
+    base.set_hyperparams(np.log(np.array([0.1, 1.0])), dset)
+    za = model.kernel.transform_x(tex[:8], tel[:8])
+    zb = base.kernel.transform_x(tex[:8], tel[:8])
+    assert not np.allclose(np.asarray(za), np.asarray(zb))
+
+    model.fit(dset, mode="exact", suppress_var=True)
+    preds = model.predict(tex, sequence_lengths=tel)
+    assert np.all(np.isfinite(preds))
+    from scipy.stats import spearmanr
+    rho = spearmanr(preds, te_y)[0]
+    assert rho > 0.2
