@@ -17,7 +17,6 @@ rand_nys_preconditioners.py in the reference:
 """
 import numpy as np
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
 
 from ..utils import rng as state_rng
 
@@ -85,14 +84,27 @@ def initialize_srht_multipass(engine, rank, random_state, n_passes=2,
         q_mat, _ = jnp.linalg.qr(acc)
         acc = engine.gauss_pass(q_mat)
 
-    norm = float(jnp.sqrt(jnp.sum(acc ** 2)))
-    shift = np.spacing(norm)
-    acc = acc + shift * q_mat
+    # Whiten acc by small^{-1/2} where small = Q^T Z^T Z Q.  The
+    # reference does this with a spacing()-shifted Cholesky + triangular
+    # solve (rand_nys_constructors.py:198-213) -- safe in fp64 LAPACK,
+    # but in fp32 an absolute-ULP shift cannot keep a near-singular
+    # `small` positive definite (extreme-but-legitimate hyperparameters,
+    # e.g. sigma -> 0, make the sketch numerically rank-1), the Cholesky
+    # returns NaN, and downstream eigh on NaN input livelocks the TPU.
+    # Instead use pinv-style eigh whitening: identical left singular
+    # pairs in exact arithmetic (acc small^{-1} acc^T is what the SVD
+    # sees either way), and directions below fp noise are dropped
+    # rather than amplified.  fp32 must never NaN.
     small = q_mat.T @ acc
-    chol = jnp.linalg.cholesky(small)
-    acc = solve_triangular(chol, acc.T, lower=True).T
+    e_val, e_vec = jnp.linalg.eigh(small)
+    floor = jnp.clip(e_val[-1], min=0.0) * (
+        np.finfo(acc.dtype).eps * small.shape[0])
+    inv_sqrt = jnp.where(e_val > floor,
+                         1.0 / jnp.sqrt(jnp.where(e_val > floor,
+                                                  e_val, 1.0)), 0.0)
+    acc = jnp.matmul(acc, e_vec * inv_sqrt[None, :], precision="highest")
     u_mat, s_mat = _tall_svd(acc)
-    eig = jnp.clip(s_mat ** 2 - shift, min=0)
+    eig = jnp.clip(s_mat ** 2, min=0)
     return u_mat, eig, z_trans_y, y_trans_y
 
 
