@@ -43,6 +43,7 @@ class ModelBaseclass:
         self.n_classes = 1
         self.gamma = None
         self._engines = {}
+        self._nmll_rank_cache = None
         self._device = None
         if device is not None:
             self.device = device
@@ -163,6 +164,7 @@ class ModelBaseclass:
             self.kernel.set_hyperparams(hyperparams, logspace=True)
         self.weights, self.var = None, None
         self._engines = {}
+        self._nmll_rank_cache = None
 
     def _run_pre_nmll_prep(self, dataset, bounds=None):
         if self.kernel is None:
@@ -233,6 +235,47 @@ class ModelBaseclass:
         return NystromPreconditioner(engine, rank, self.verbose,
                                      self.random_seed, method,
                                      is_regression=self.is_regression)
+
+    def _amortized_nmll_preconditioner(self, dataset, ratio_target=30.):
+        """Preconditioner for repeated approximate-NMLL evaluations.
+
+        The reference re-runs the full rank autoselection (1-5 sampled
+        sketch dataset passes, xgp_regression.py:330-333 ->
+        model_baseclass.py:376-434) on EVERY cost-function call inside
+        scipy.optimize.  Successive tuner iterates move hyperparameters
+        slowly, so the selected rank is nearly always the same; we cache
+        it.  On cache hits we skip the sampled check passes and build the
+        srht_2 preconditioner directly at the cached rank, using the
+        build's own ``achieved_ratio`` (exact, computed from eigenvalues
+        we already have) as the verification -- growing the rank and
+        rebuilding once if hyperparameters drifted enough that the cached
+        rank no longer meets the target.  Net effect: ~3 dataset passes
+        per NMLL evaluation instead of ~4-7, and no freshly compiled
+        sketch programs at intermediate ranks mid-tune.
+        """
+        num_rffs = self.kernel.get_num_rffs()
+        hard_cap = min(constants.LARGEST_NMLL_MAX_RANK, num_rffs - 1)
+        cached = self._nmll_rank_cache
+        if cached is None:
+            precond = self._autoselect_preconditioner(
+                dataset, min_rank=constants.SMALLEST_NMLL_MAX_RANK,
+                max_rank=constants.LARGEST_NMLL_MAX_RANK,
+                always_use_srht2=True, ratio_target=ratio_target)
+            self._nmll_rank_cache = precond.get_rank()
+            return precond
+
+        engine = self._engine(dataset)
+        rank = min(cached, hard_cap)
+        precond = NystromPreconditioner(engine, rank, self.verbose,
+                                        self.random_seed, "srht_2",
+                                        is_regression=self.is_regression)
+        if precond.achieved_ratio > ratio_target and rank < hard_cap:
+            rank = min(rank + 512, hard_cap)
+            precond = NystromPreconditioner(engine, rank, self.verbose,
+                                            self.random_seed, "srht_2",
+                                            is_regression=self.is_regression)
+        self._nmll_rank_cache = rank
+        return precond
 
     def _check_rank_ratio(self, dataset, sample_frac=0.1, max_rank=512):
         """Sampled ratio estimate (model_baseclass.py:438-476).  Caps the

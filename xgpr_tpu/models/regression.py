@@ -197,10 +197,7 @@ class GPRegression(ModelBaseclass):
                 engine, settings["max_rank"], False, self.random_seed,
                 settings["preconditioner_mode"])
         else:
-            preconditioner = self._autoselect_preconditioner(
-                dataset, min_rank=constants.SMALLEST_NMLL_MAX_RANK,
-                max_rank=constants.LARGEST_NMLL_MAX_RANK,
-                always_use_srht2=True)
+            preconditioner = self._amortized_nmll_preconditioner(dataset)
             engine = self._engine(dataset)
 
         if self.verbose:

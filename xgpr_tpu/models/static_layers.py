@@ -19,6 +19,37 @@ class FastConv1d:
         self.conv_kernel = FHTMaxpoolConv1dFeatureExtractor(
             seq_width, num_features, conv_width=conv_width,
             random_seed=random_seed)
+        self._device = None
+        if device is not None:
+            self.device = device
+
+    @property
+    def device(self):
+        """Compute target (fast_conv.py:122-129).  TPU-native semantics
+        match ModelBaseclass.device: reflects / sets the process-wide JAX
+        default device rather than migrating arrays."""
+        if self._device is not None:
+            return self._device
+        import jax
+        return jax.default_backend()
+
+    @device.setter
+    def device(self, value):
+        import jax
+        if value not in ("cpu", "cuda", "gpu", "tpu"):
+            raise RuntimeError(
+                "Device must be in ['cpu', 'cuda', 'gpu', 'tpu'].")
+        if value == "cpu":
+            dev = jax.devices("cpu")[0]
+        else:
+            accel = [d for d in jax.devices() if d.platform != "cpu"]
+            if not accel:
+                raise RuntimeError(
+                    "You have specified an accelerator device but no "
+                    "accelerator is visible to JAX.")
+            dev = accel[0]
+        jax.config.update("jax_default_device", dev)
+        self._device = value
 
     def predict(self, x_array, sequence_lengths, chunk_size=2000):
         """Extract (N, num_features) maxpool conv features
