@@ -52,6 +52,18 @@ def main():
                                     manual_settings={"max_rank": 512})
     t_slq = time.time() - t0
 
+    # Autoselect-path evaluations, as scipy.optimize makes during
+    # tune_hyperparams(nmll_method="approximate"): the first call runs
+    # the full rank autoselection; the second (a nearby tuner iterate)
+    # hits the amortized rank cache and skips the sampled check passes.
+    hp_b = np.asarray(hparams) + np.array([0.05, -0.05])
+    t0 = time.time()
+    auto_a = model.approximate_nmll(np.asarray(hparams), data)
+    t_auto_first = time.time() - t0
+    t0 = time.time()
+    auto_b = model.approximate_nmll(hp_b, data)
+    t_auto_cached = time.time() - t0
+
     print(json.dumps({
         "rows": args.rows,
         "num_rffs": args.num_rffs,
@@ -60,6 +72,10 @@ def main():
         "tuned_nmll": float(score),
         "slq_nmll_eval_sec": t_slq,
         "slq_nmll": float(approx),
+        "autoselect_first_eval_sec": t_auto_first,
+        "autoselect_cached_eval_sec": t_auto_cached,
+        "autoselect_rank": int(model._nmll_rank_cache),
+        "autoselect_nmlls": [float(auto_a), float(auto_b)],
         "hyperparams": list(map(float, hparams)),
     }))
 
