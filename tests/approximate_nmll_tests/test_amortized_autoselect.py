@@ -48,6 +48,16 @@ def test_amortized_autoselect_matches_exact(data):
     assert abs(approx_b - approx_fresh) / abs(approx_fresh) < 0.01
 
 
+def test_manual_settings_bypass_cache(data):
+    """manual_settings pins the rank explicitly (xgp_regression.py:277-302)
+    and must neither read nor write the autoselect cache."""
+    model = GPRegression(num_rffs=1024, kernel_choice="RBF", verbose=False)
+    model.set_hyperparams(HPARAMS_A, data)
+    model.approximate_nmll(HPARAMS_A, data,
+                           manual_settings={"max_rank": 256})
+    assert model._nmll_rank_cache is None
+
+
 def test_rank_cache_invalidation(data):
     model = GPRegression(num_rffs=1024, kernel_choice="RBF", verbose=False)
     model.set_hyperparams(HPARAMS_A, data)
