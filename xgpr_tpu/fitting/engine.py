@@ -437,6 +437,65 @@ class Engine:
             grad = grad + lb_grad
         return grad, loss
 
+    def softmax_linesearch(self, wvec, direction, steps, lambda_):
+        """Data-side CE loss of (W + t D) for every candidate step t,
+        in ONE dataset pass.
+
+        TPU-first replacement for sequential backtracking: the logits of
+        W + t D are affine in t, so each batch computes z W and z D once
+        and the loss at the whole step grid falls out of cheap
+        elementwise work.  The L2 ridge term is added in closed form by
+        the solver (fitting/softmax_solver.py).
+        """
+        feat = self._features
+
+        def batch_losses(params, xb, lb, mb, yb, w, d, steps):
+            z = feat(params, xb, lb, mb)
+            zw = _mm(z, w)
+            zd = _mm(z, d)
+            logits = zw[None, :, :] + steps[:, None, None] * zd[None, :, :]
+            lse = jax.nn.logsumexp(logits, axis=2)
+            lab = jnp.broadcast_to(yb[None, :, None],
+                                   (steps.shape[0], yb.shape[0], 1))
+            hit = jnp.take_along_axis(logits, lab, axis=2)[..., 0]
+            return jnp.sum((lse - hit) * mb[None, :], axis=1)
+
+        if self.mode == "stacked":
+            def build():
+                @jax.jit
+                def run(params, x, l, m_mask, y, w, d, steps):
+                    def body(acc, batch):
+                        if l is None:
+                            xb, mb, yb = batch
+                            lb = None
+                        else:
+                            xb, lb, mb, yb = batch
+                        return acc + batch_losses(params, xb, lb, mb, yb,
+                                                  w, d, steps), None
+                    init = jnp.zeros((steps.shape[0],), w.dtype)
+                    xs = (x, m_mask, y) if l is None else (x, l, m_mask, y)
+                    acc, _ = jax.lax.scan(body, init, xs)
+                    return acc
+                return run
+            run = self._get_jit("softmax_ls_stacked", build)
+            s = self._stacked
+            return run(self._params(), s["x"], s["l"], s["m"], s["y"],
+                       jnp.asarray(wvec, self._dtype),
+                       jnp.asarray(direction, self._dtype),
+                       jnp.asarray(steps, self._dtype))
+
+        def build():
+            return jax.jit(batch_losses)
+        run = self._get_jit("softmax_ls", build)
+        w = jnp.asarray(wvec, self._dtype)
+        d = jnp.asarray(direction, self._dtype)
+        t = jnp.asarray(steps, self._dtype)
+        acc = jnp.zeros((t.shape[0],), self._dtype)
+        params = self._params()
+        for xb, yb, lb, mb in self._batches():
+            acc = acc + run(params, xb, lb, mb, yb, w, d, t)
+        return acc
+
     def gradient_terms(self, subsample=1.0, seed=123):
         """Terms for the exact NMLL gradient (nmll_gradient_tools.py:12-90).
 

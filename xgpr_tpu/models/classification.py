@@ -7,7 +7,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .baseclass import ModelBaseclass
-from ..fitting.nonlinear_cg import NonlinearCGClassification
+from ..fitting.softmax_solver import fit_softmax_ncg
 
 
 class GPClassification(ModelBaseclass):
@@ -61,10 +61,9 @@ class GPClassification(ModelBaseclass):
                 ratio_target=autoselect_target_ratio,
                 always_use_srht2=always_use_srht2)
         engine = self._engine(dataset)
-        cg_operator = NonlinearCGClassification(engine, self.verbose,
-                                                preconditioner)
-        self.weights, n_iter, losses = cg_operator.fit_model(
-            self.n_classes, max_iter, tol)
+        self.weights, n_iter, losses = fit_softmax_ncg(
+            engine, self.n_classes, preconditioner, max_iter, tol,
+            self.verbose)
         self.gamma = np.zeros((self.n_classes,))
         if self.verbose:
             print(f"CG iterations: {n_iter}")

@@ -305,6 +305,43 @@ class ShardedEngine:
             return acc, zty, float(yty)
         return out
 
+    def softmax_linesearch(self, wvec, direction, steps, lambda_):
+        """SPMD one-pass line search: per-shard CE loss of (W + t D) at
+        every candidate step, psum'd over the mesh.  Mirrors
+        Engine.softmax_linesearch."""
+        feat = self._feat
+
+        def build():
+            def local(params, x, l, m, y, w, d, steps):
+                def body(acc, batch):
+                    xb, lb, mb, yb = batch
+                    z = feat(params, xb, lb, mb)
+                    zw = _mm(z, w)
+                    zd = _mm(z, d)
+                    logits = zw[None, :, :] + \
+                        steps[:, None, None] * zd[None, :, :]
+                    lse = jax.nn.logsumexp(logits, axis=2)
+                    lab = jnp.broadcast_to(
+                        yb[None, :, None],
+                        (steps.shape[0], yb.shape[0], 1))
+                    hit = jnp.take_along_axis(logits, lab, axis=2)[..., 0]
+                    return acc + jnp.sum((lse - hit) * mb[None, :],
+                                         axis=1), None
+                init = jnp.zeros((steps.shape[0],), w.dtype)
+                acc, _ = jax.lax.scan(body, init, (x, l, m, y))
+                return jax.lax.psum(acc, DATA_AXIS)
+
+            data_specs = (P(DATA_AXIS),) * 4
+            fn = shard_map(local, mesh=self.mesh, check_vma=False,
+                           in_specs=(P(),) + data_specs + (P(),) * 3,
+                           out_specs=P())
+            return jax.jit(fn)
+        run = self._get_jit("softmax_ls", build)
+        return run(self._params(), self._x, self._l, self._m, self._y,
+                   jnp.asarray(wvec, self._dtype),
+                   jnp.asarray(direction, self._dtype),
+                   jnp.asarray(steps, self._dtype))
+
     def gradient_terms(self, subsample=1.0, seed=123):
         """NMLL-gradient accumulation is small-M work used only by the
         exact tuner; delegate to the single-device streaming engine."""
