@@ -24,7 +24,7 @@ from ..scoring.slq import estimate_logdet
 from ..scoring.alpha_beta import optimize_alpha_beta
 from ..scoring.gradient import exact_nmll_reg_grad
 from ..scoring.lb_optimizer import shared_hparam_search
-from ..scoring.bayes_grid import bayes_grid_tuning
+from ..scoring.surrogate_tuner import surrogate_grid_tuning
 from ..utils import rng as state_rng
 
 
@@ -310,7 +310,7 @@ class GPRegression(ModelBaseclass):
                 subsample=subsample)
             n_feval = 1
         elif 1 < num_hparams < 4:
-            hyperparams, _, best_score, n_feval = bayes_grid_tuning(
+            hyperparams, _, best_score, n_feval = surrogate_grid_tuning(
                 self.kernel, engine_factory, optim_bounds, random_seed,
                 max_bayes_iter, self.verbose, subsample=subsample)
         else:
