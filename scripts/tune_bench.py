@@ -74,7 +74,8 @@ def main():
         "slq_nmll": float(approx),
         "autoselect_first_eval_sec": t_auto_first,
         "autoselect_cached_eval_sec": t_auto_cached,
-        "autoselect_rank": int(model._nmll_rank_cache),
+        "autoselect_rank": (int(model._nmll_rank_cache[1])
+                            if model._nmll_rank_cache else -1),
         "autoselect_nmlls": [float(auto_a), float(auto_b)],
         "hyperparams": list(map(float, hparams)),
     }))

@@ -36,11 +36,12 @@ def test_sincos_dispatch():
     c64, s64 = sincos(x64)
     assert np.array_equal(np.asarray(c64), np.asarray(jnp.cos(x64)))
     assert np.array_equal(np.asarray(s64), np.asarray(jnp.sin(x64)))
-    # auto: fp32 takes the polynomial.
+    # auto: fp32 takes the polynomial (modulo fusion-level ULP noise from
+    # the guard's lax.cond branch compilation).
     c32, s32 = sincos(x32)
     cp, sp = _poly_sincos(x32)
-    assert np.array_equal(np.asarray(c32), np.asarray(cp))
-    assert np.array_equal(np.asarray(s32), np.asarray(sp))
+    assert np.allclose(np.asarray(c32), np.asarray(cp), atol=1e-6)
+    assert np.allclose(np.asarray(s32), np.asarray(sp), atol=1e-6)
     # exact mode forces the builtin even in fp32.
     config.set_sincos_mode("exact")
     try:
@@ -48,6 +49,21 @@ def test_sincos_dispatch():
         assert np.array_equal(np.asarray(ce), np.asarray(jnp.cos(x32)))
     finally:
         config.set_sincos_mode("auto")
+
+
+def test_sincos_auto_guard_large_args():
+    """auto mode must not silently degrade beyond the Cody-Waite range: a
+    single huge argument (large sigma x un-standardised data) switches the
+    call to the exact builtin."""
+    x = np.linspace(-5, 5, 512).astype(np.float32)
+    x[7] = 1.5e6  # far outside the polynomial's validity
+    xj = jnp.asarray(x)
+    c, s = sincos(xj)
+    x64 = x.astype(np.float64)
+    # The poly path would be wildly wrong at x[7]; the guard keeps every
+    # element at builtin accuracy.
+    assert np.max(np.abs(np.asarray(c) - np.cos(x64))) < 1e-4
+    assert np.max(np.abs(np.asarray(s) - np.sin(x64))) < 1e-4
 
 
 def test_poly_sincos_pythagorean_and_shape():

@@ -95,6 +95,43 @@ def test_sharded_miniard_matches(setup):
                        np.asarray(sharded.ztzv(v)), rtol=1e-9, atol=1e-9)
 
 
+def test_gradient_terms_match(setup):
+    """Exact-gradient (L-BFGS-B) tuning terms must run SPMD on the mesh
+    and agree with the single-device engine exactly."""
+    single, sharded, _ = setup
+    a = single.gradient_terms()
+    b = sharded.gradient_terms()
+    for t1, t2 in zip(a[:5], b[:5]):
+        assert np.allclose(np.asarray(t1), np.asarray(t2),
+                           rtol=1e-9, atol=1e-9)
+    assert a[5] == b[5]
+
+
+def test_lbfgs_tuning_on_mesh(setup):
+    """A short L-BFGS-B exact tune through the sharded engine must agree
+    with the single-device result (N-dev == 1-dev)."""
+    from xgpr_tpu import config as xcfg
+    (trx, tr_y), _ = tabular_data(n_train=800)
+    dset = build_regression_dataset(trx, tr_y, chunk_size=100)
+
+    def run_tune():
+        model = GPRegression(num_rffs=256, kernel_choice="RBF",
+                             verbose=False)
+        return model.tune_hyperparams(
+            dset, max_iter=5, tuning_method="L-BFGS-B",
+            starting_hyperparams=HPARAMS.copy())
+
+    xcfg.set_engine_mode("single")
+    try:
+        hp_single, _, score_single = run_tune()
+        xcfg.set_engine_mode("sharded")
+        hp_sharded, _, score_sharded = run_tune()
+    finally:
+        xcfg.set_engine_mode("auto")
+    assert np.allclose(hp_single, hp_sharded, rtol=1e-6, atol=1e-8)
+    assert abs(score_single - score_sharded) < 1e-5 * abs(score_single)
+
+
 def test_full_cg_fit_on_mesh(setup):
     """Preconditioner build + PCG fit entirely through the sharded engine."""
     single, sharded, kernel = setup

@@ -38,6 +38,11 @@ class ConjugateGrad:
         from .fused_cg import (fused_cg_solve_stacked,
                                fused_cg_solve_sharded)
         if isinstance(self.engine, ShardedEngine):
+            # Streaming sharded engines have no device-resident stack;
+            # they re-stream the dataset per iteration through the Python
+            # loop below (the reference's cg_tools.py:26-53 pattern).
+            if getattr(self.engine, "_x", None) is None:
+                return None
             return fused_cg_solve_sharded
         if getattr(self.engine, "_stacked", None) is not None:
             return fused_cg_solve_stacked

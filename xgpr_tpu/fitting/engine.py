@@ -26,22 +26,7 @@ from .. import config
 _STACKED_ELEMENT_LIMIT = 10**9
 
 
-def _mm(a, b):
-    return jnp.matmul(a, b, precision=config.matmul_precision())
-
-def _ztzv_contract(z, v):
-    """Z^T (Z v) with optional bf16 feature materialisation
-    (config.set_feature_dtype): halves the dominant HBM traffic of the
-    matvec; accumulation stays float32."""
-    from .. import config as _cfg
-    fd = _cfg.feature_dtype()
-    if fd is not None:
-        zb = z.astype(fd)
-        zv = jnp.matmul(zb, v.astype(fd),
-                        preferred_element_type=jnp.float32)
-        return jnp.matmul(zb.T, zv.astype(fd),
-                          preferred_element_type=jnp.float32)
-    return _mm(z.T, _mm(z, v))
+from ..ops.contract import mm as _mm, ztzv_contract as _ztzv_contract
 
 
 
@@ -496,15 +481,107 @@ class Engine:
             acc = acc + run(params, xb, lb, mb, yb, w, d, t)
         return acc
 
+    def _gradient_batch_terms(self, grad_fn):
+        """Per-batch accumulation terms for the exact NMLL gradient: one
+        traced function computing (Z^T Z, Z^T y, y^T y, dZ^T y, dZ^T Z,
+        n_rows) from a masked padded batch.  The per-sigma contractions
+        run as einsums on the MXU instead of a host loop of .at[].add."""
+        def batch_terms(gparams, xb, lb, mb, yb):
+            z, dz = grad_fn(gparams, xb, lb)
+            z = z * mb[:, None]
+            dz = dz * mb[:, None, None]
+            ym = yb * mb
+            prec = config.matmul_precision()
+            ztz = _mm(z.T, z)
+            zty = _mm(z.T, ym[:, None])[:, 0]
+            yty = ym @ ym
+            dz_ty = jnp.einsum("nmi,n->mi", dz, ym, precision=prec)
+            inner = jnp.einsum("nmi,nk->mki", dz, z, precision=prec)
+            n = jnp.sum(mb)
+            return ztz, zty, yty, dz_ty, inner, n
+
+        return batch_terms
+
+    def _subsample_mask(self, mb, rng, subsample):
+        """Bernoulli row-keep mask, applied multiplicatively so shapes
+        stay static (nmll_gradient_tools.py:72-86 subsamples rows; the
+        count of kept rows is returned via the mask sum)."""
+        if subsample >= 1.0:
+            return mb
+        keep = rng.random(mb.shape[0]) < subsample
+        return mb * jnp.asarray(keep, dtype=mb.dtype)
+
     def gradient_terms(self, subsample=1.0, seed=123):
         """Terms for the exact NMLL gradient (nmll_gradient_tools.py:12-90).
 
         Returns z_trans_z, z_trans_y, y_trans_y, dz_dsigma_ty, inner_deriv,
         ndatapoints.
         """
+        grad_fn = self.kernel.pure_gradient_fn()
+        if grad_fn is None:
+            return self._gradient_terms_host(subsample, seed)
         m = self.num_rffs
-        hparams = self.kernel.get_hyperparams()
-        nsig = hparams.shape[0] - 1
+        nsig = self.kernel.get_hyperparams().shape[0] - 1
+        dt = self._dtype
+        gparams = self.kernel.gradient_params()
+        batch_terms = self._gradient_batch_terms(grad_fn)
+        rng = np.random.default_rng(seed)
+
+        if self.mode == "stacked":
+            def build():
+                @jax.jit
+                def run(gparams, x, l, m_mask, y):
+                    def body(carry, batch):
+                        if l is None:
+                            xb, mb, yb = batch
+                            lb = None
+                        else:
+                            xb, lb, mb, yb = batch
+                        t = batch_terms(gparams, xb, lb, mb, yb)
+                        return tuple(c + u for c, u in zip(carry, t)), \
+                            None
+                    init = (jnp.zeros((m, m), x.dtype),
+                            jnp.zeros((m,), x.dtype),
+                            jnp.zeros((), x.dtype),
+                            jnp.zeros((m, nsig), x.dtype),
+                            jnp.zeros((m, m, nsig), x.dtype),
+                            jnp.zeros((), x.dtype))
+                    xs = (x, m_mask, y) if l is None else (x, l, m_mask, y)
+                    out, _ = jax.lax.scan(body, init, xs)
+                    return out
+                return run
+            run = self._get_jit("gradient_terms_stacked", build)
+            s = self._stacked
+            m_eff = s["m"]
+            if subsample < 1.0:
+                keep = rng.random(tuple(m_eff.shape)) < subsample
+                m_eff = m_eff * jnp.asarray(keep, dtype=m_eff.dtype)
+            ztz, zty, yty, dz_ty, inner, n = run(gparams, s["x"], s["l"],
+                                                 m_eff, s["y"])
+        else:
+            def build():
+                return jax.jit(batch_terms)
+            run = self._get_jit("gradient_terms_stream", build)
+            ztz = jnp.zeros((m, m), dtype=dt)
+            zty = jnp.zeros((m,), dtype=dt)
+            yty = jnp.zeros((), dtype=dt)
+            dz_ty = jnp.zeros((m, nsig), dtype=dt)
+            inner = jnp.zeros((m, m, nsig), dtype=dt)
+            n = jnp.zeros((), dtype=dt)
+            for xb, yb, lb, mb in self._batches(with_y=True):
+                mb = self._subsample_mask(mb, rng, subsample)
+                t = run(gparams, xb, lb, mb, yb)
+                ztz, zty, yty, dz_ty, inner, n = (
+                    ztz + t[0], zty + t[1], yty + t[2], dz_ty + t[3],
+                    inner + t[4], n + t[5])
+        inner = inner + jnp.transpose(inner, (1, 0, 2))
+        return ztz, zty, float(yty), dz_ty, inner, int(n)
+
+    def _gradient_terms_host(self, subsample=1.0, seed=123):
+        """Fallback for kernels without a pure gradient fn: per-chunk
+        gradient_x_y on host with einsum accumulation."""
+        m = self.num_rffs
+        nsig = self.kernel.get_hyperparams().shape[0] - 1
         dt = self._dtype
         ztz = jnp.zeros((m, m), dtype=dt)
         zty = jnp.zeros((m,), dtype=dt)
@@ -512,7 +589,8 @@ class Engine:
         dz_ty = jnp.zeros((m, nsig), dtype=dt)
         inner = jnp.zeros((m, m, nsig), dtype=dt)
         nsamples = 0
-        rng = np.random.default_rng(123)
+        rng = np.random.default_rng(seed)
+        prec = config.matmul_precision()
 
         for xb_np, yb_np, lb_np in self.dataset.get_chunked_data():
             if subsample < 1.0:
@@ -528,9 +606,8 @@ class Engine:
             ztz = ztz + _mm(z.T, z)
             yty += float(y @ y)
             nsamples += z.shape[0]
-            for i in range(nsig):
-                dz_ty = dz_ty.at[:, i].add(_mm(dz[:, :, i].T,
-                                               y[:, None])[:, 0])
-                inner = inner.at[:, :, i].add(_mm(dz[:, :, i].T, z))
+            dz_ty = dz_ty + jnp.einsum("nmi,n->mi", dz, y, precision=prec)
+            inner = inner + jnp.einsum("nmi,nk->mki", dz, z,
+                                       precision=prec)
         inner = inner + jnp.transpose(inner, (1, 0, 2))
         return ztz, zty, yty, dz_ty, inner, nsamples

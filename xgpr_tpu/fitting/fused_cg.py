@@ -20,50 +20,13 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-def _mm(a, b):
-    from .. import config as _cfg
-    return jnp.matmul(a, b, precision=_cfg.matmul_precision())
-
-
-def _fmm(a, b):
-    """Feature-path matmul: the Zv / Z^T(Zv) contractions run at the
-    (cheaper) feature precision; see config.set_feature_precision."""
-    from .. import config as _cfg
-    return jnp.matmul(a, b, precision=_cfg.feature_precision())
+from ..ops.contract import (mm as _mm,
+                            parts_contract as _parts_contract)
+from ..ops.contract import ztzv_contract as _ztzv_contract_shared
 
 
 def _ztzv_contract(z, v):
-    """Z^T (Z v) with optional bf16 feature materialisation
-    (config.set_feature_dtype): halves the dominant HBM traffic of the
-    matvec; accumulation stays float32."""
-    from .. import config as _cfg
-    fd = _cfg.feature_dtype()
-    if fd is not None:
-        zb = z.astype(fd)
-        zv = jnp.matmul(zb, v.astype(fd),
-                        preferred_element_type=jnp.float32)
-        return jnp.matmul(zb.T, zv.astype(fd),
-                          preferred_element_type=jnp.float32)
-    return _fmm(z.T, _fmm(z, v))
-
-
-
-def _parts_contract(c, s, v_c, v_s):
-    """Z^T (Z v) from (cos, sin) parts: zv = c v_c + s v_s, then
-    (c^T zv, s^T zv).  Avoids the canonical-layout assembly copies."""
-    from .. import config as _cfg
-    fd = _cfg.feature_dtype()
-    if fd is not None:
-        c, s = c.astype(fd), s.astype(fd)
-        zv = (jnp.matmul(c, v_c.astype(fd),
-                         preferred_element_type=jnp.float32)
-              + jnp.matmul(s, v_s.astype(fd),
-                           preferred_element_type=jnp.float32))
-        zvb = zv.astype(fd)
-        return (jnp.matmul(c.T, zvb, preferred_element_type=jnp.float32),
-                jnp.matmul(s.T, zvb, preferred_element_type=jnp.float32))
-    zv = _fmm(c, v_c) + _fmm(s, v_s)
-    return _fmm(c.T, zv), _fmm(s.T, zv)
+    return _ztzv_contract_shared(z, v, feature_path=True)
 
 
 def _precond_mv(u_mat, inv_eig, prefactor, v):

@@ -121,6 +121,32 @@ class SORFKernelBaseclass(KernelBaseclass):
                          self.chi_arr.astype(input_x.dtype), sigma,
                          self.fit_intercept)
 
+    def pure_gradient_fn(self):
+        fn = getattr(self, "_pure_grad_fn", None)
+        if fn is None:
+            intercept = self.fit_intercept
+            padded = self.padded_dims
+            if self.use_dense_projection:
+                def fn(params, x, seq_len=None):
+                    z, dz = rbf_feature_map_dense_grad(
+                        x, params["proj"], params["sigma"], intercept,
+                        padded)
+                    if intercept:
+                        z = z.at[:, 0].set(1.0)
+                        dz = dz.at[:, 0, :].set(0.0)
+                    return z, dz
+            else:
+                def fn(params, x, seq_len=None):
+                    z, dz = rbf_feature_map_grad(
+                        x, params["radem"], params["chi"],
+                        params["sigma"], intercept)
+                    if intercept:
+                        z = z.at[:, 0].set(1.0)
+                        dz = dz.at[:, 0, :].set(0.0)
+                    return z, dz
+            self._pure_grad_fn = fn
+        return fn
+
     def pure_feature_parts_fn(self):
         if not self.use_dense_projection:
             return None
@@ -279,3 +305,11 @@ class Linear(KernelBaseclass):
         xtrans = self.kernel_specific_transform(input_x)
         return xtrans, jnp.zeros((xtrans.shape[0], 0, 0),
                                  dtype=input_x.dtype)
+
+    def pure_gradient_fn(self):
+        feat = self.pure_feature_fn()
+
+        def fn(params, x, seq_len=None):
+            z = feat(params, x, seq_len)
+            return z, jnp.zeros((z.shape[0], z.shape[1], 0), z.dtype)
+        return fn

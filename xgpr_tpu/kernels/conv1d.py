@@ -141,6 +141,26 @@ class ConvKernelBaseclass(KernelBaseclass):
             params["proj"] = self._dense_proj(dt)
         return params
 
+    def pure_gradient_fn(self):
+        fn = getattr(self, "_pure_grad_fn", None)
+        if fn is None:
+            intercept = self.fit_intercept
+            width = self.conv_width
+            scaling = self.scaling_type
+            use_dense = self.use_dense_projection
+
+            def fn(params, x, seq_len):
+                z, dz = conv_rbf_features(
+                    x, seq_len, params["radem"], params["chi"],
+                    params["sigma"], width, scaling, with_grad=True,
+                    proj=params.get("proj") if use_dense else None)
+                if intercept:
+                    z = z.at[:, 0].set(1.0)
+                    dz = dz.at[:, 0, :].set(0.0)
+                return z, dz
+            self._pure_grad_fn = fn
+        return fn
+
     def pure_feature_fn(self):
         pallas_ok = self._pallas_conv_allowed()
         cached = getattr(self, "_pure_fn", None)

@@ -167,6 +167,21 @@ class KernelBaseclass(ABC):
         has no fused path."""
         return None
 
+    def gradient_params(self):
+        """Pytree of arrays consumed by pure_gradient_fn.  Defaults to
+        feature_params; kernels that need extra gradient-only state
+        (MiniARD's dense weight matrix) extend it."""
+        return self.feature_params()
+
+    def pure_gradient_fn(self):
+        """Return fn(params, x, seq_len_or_None) -> (feats, dfeats) with
+        dfeats of shape (N, num_rffs, n_sigma), or None if the kernel has
+        no pure gradient path.  Like pure_feature_fn, the returned fn is
+        pure and jittable with hyperparameters flowing through params, so
+        exact-gradient tuning (L-BFGS-B) never recompiles; solvers scan /
+        shard_map over it directly."""
+        return None
+
     def feature_positions(self):
         """(cos_pos, sin_pos) canonical column positions per frequency
         (ops/layout.py), for solvers using the parts fast path."""

@@ -152,6 +152,27 @@ class Conv1dTwoLayer(KernelBaseclass):
             params["proj2"] = p2
         return params
 
+    def pure_gradient_fn(self):
+        fn = getattr(self, "_pure_grad_fn", None)
+        if fn is None:
+            intercept = self.fit_intercept
+            width = self.conv_width
+            use_dense = self.use_dense_projection
+
+            def fn(params, x, seq_len):
+                prof = conv_maxpool_features(
+                    x, seq_len, params["radem1"], params["chi1"], width,
+                    proj=params.get("proj1") if use_dense else None)
+                z, dz = rbf_feature_map_grad(prof, params["radem2"],
+                                             params["chi2"],
+                                             params["sigma"], intercept)
+                if intercept:
+                    z = z.at[:, 0].set(1.0)
+                    dz = dz.at[:, 0, :].set(0.0)
+                return z, dz
+            self._pure_grad_fn = fn
+        return fn
+
     def pure_feature_fn(self):
         fn = getattr(self, "_pure_fn", None)
         if fn is None:

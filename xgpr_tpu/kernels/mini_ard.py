@@ -149,6 +149,32 @@ class MiniARD(KernelBaseclass):
                 self.radem_diag.astype(dtype), self.chi_arr.astype(dtype),
                 self._xdim[-1])
 
+    def gradient_params(self):
+        from .. import config
+        dt = jnp.float64 if self.double_precision else config.fp_dtype()
+        params = self.feature_params()
+        self._ensure_precomputed(dt)
+        params["grad_weights"] = self.precomputed_weights.astype(dt)
+        params["sigmas"] = jnp.asarray(self.hyperparams[1:], dtype=dt)
+        return params
+
+    def pure_gradient_fn(self):
+        fn = getattr(self, "_pure_grad_fn", None)
+        if fn is None:
+            intercept = self.fit_intercept
+            starts = tuple(s for s, _ in self._group_slices)
+            ends = tuple(e for _, e in self._group_slices)
+
+            def fn(params, x, seq_len=None):
+                z, dz = mini_ard_grad(x, params["grad_weights"], starts,
+                                      ends, params["sigmas"], intercept)
+                if intercept:
+                    z = z.at[:, 0].set(1.0)
+                    dz = dz.at[:, 0, :].set(0.0)
+                return z, dz
+            self._pure_grad_fn = fn
+        return fn
+
     def kernel_specific_gradient(self, input_x, sequence_length=None):
         self._ensure_precomputed(input_x.dtype)
         starts = tuple(s for s, _ in self._group_slices)

@@ -64,9 +64,15 @@ class ModelBaseclass:
             n_elements = int(_np.prod(dataset.get_xdim()))
             fits = n_elements < _STACKED_ELEMENT_LIMIT * max(
                 1, len(_jax.devices()))
-            if _config.should_shard() and fits:
-                from ..parallel.sharded import ShardedEngine
-                engine = ShardedEngine(self.kernel, dataset)
+            if _config.should_shard():
+                if fits:
+                    from ..parallel.sharded import ShardedEngine
+                    engine = ShardedEngine(self.kernel, dataset)
+                else:
+                    # Dataset exceeds aggregate device memory: stream
+                    # superbatches through the same shard_map programs.
+                    from ..parallel.streaming import StreamingShardedEngine
+                    engine = StreamingShardedEngine(self.kernel, dataset)
             else:
                 engine = Engine(self.kernel, dataset)
             self._engines = {key: engine}  # keep at most one
@@ -247,34 +253,42 @@ class ModelBaseclass:
         it.  On cache hits we skip the sampled check passes and build the
         srht_2 preconditioner directly at the cached rank, using the
         build's own ``achieved_ratio`` (exact, computed from eigenvalues
-        we already have) as the verification -- growing the rank and
-        rebuilding once if hyperparameters drifted enough that the cached
-        rank no longer meets the target.  Net effect: ~3 dataset passes
-        per NMLL evaluation instead of ~4-7, and no freshly compiled
-        sketch programs at intermediate ranks mid-tune.
+        we already have) as the verification -- growing the rank by 512
+        and rebuilding until the target is met or the hard cap is reached
+        (matching the reference autoselect's escalation to max_rank,
+        model_baseclass.py:376-434).  The cache is keyed on the dataset's
+        identity so switching datasets between calls falls back to the
+        full autoselect rather than reusing a rank picked for different
+        data.  Net effect: ~3 dataset passes per NMLL evaluation instead
+        of ~4-7, and no freshly compiled sketch programs at intermediate
+        ranks mid-tune.
         """
         num_rffs = self.kernel.get_num_rffs()
         hard_cap = min(constants.LARGEST_NMLL_MAX_RANK, num_rffs - 1)
+        ds_token = (id(dataset), dataset.get_ndatapoints(),
+                    tuple(dataset.get_xdim()))
         cached = self._nmll_rank_cache
+        if cached is not None and cached[0] != ds_token:
+            cached = None
         if cached is None:
             precond = self._autoselect_preconditioner(
                 dataset, min_rank=constants.SMALLEST_NMLL_MAX_RANK,
                 max_rank=constants.LARGEST_NMLL_MAX_RANK,
                 always_use_srht2=True, ratio_target=ratio_target)
-            self._nmll_rank_cache = precond.get_rank()
+            self._nmll_rank_cache = (ds_token, precond.get_rank())
             return precond
 
         engine = self._engine(dataset)
-        rank = min(cached, hard_cap)
+        rank = min(cached[1], hard_cap)
         precond = NystromPreconditioner(engine, rank, self.verbose,
                                         self.random_seed, "srht_2",
                                         is_regression=self.is_regression)
-        if precond.achieved_ratio > ratio_target and rank < hard_cap:
+        while precond.achieved_ratio > ratio_target and rank < hard_cap:
             rank = min(rank + 512, hard_cap)
             precond = NystromPreconditioner(engine, rank, self.verbose,
                                             self.random_seed, "srht_2",
                                             is_regression=self.is_regression)
-        self._nmll_rank_cache = rank
+        self._nmll_rank_cache = (ds_token, rank)
         return precond
 
     def _check_rank_ratio(self, dataset, sample_frac=0.1, max_rank=512):
@@ -409,6 +423,13 @@ class ModelBaseclass:
                     "accelerator is visible to JAX. Currently CPU-only "
                     "fitting is available.")
             dev = accel[0]
+            requested = "gpu" if value == "cuda" else value
+            if dev.platform != requested:
+                import warnings
+                warnings.warn(
+                    f"Requested device '{value}' but the visible "
+                    f"accelerator is '{dev.platform}'; running on "
+                    f"{dev.platform}.", UserWarning)
         jax.config.update("jax_default_device", dev)
         # Engines hold device-resident stacked data; rebuild on the new
         # target.  weights/var migrate automatically at next dispatch.

@@ -54,13 +54,16 @@ class GPRegression(ModelBaseclass):
         @partial(jax.jit, static_argnames=("get_var",))
         def step(params, x, slen, weights, var_mat, var_idx, lam2,
                  get_var):
+            mp = _cfg.matmul_precision()
             if positions is not None and not get_var:
                 # Layout-free mean: z @ w == c @ w_cos + s @ w_sin.
                 c, s = parts_fn(params, x, slen)
-                return (c @ jnp.take(weights, cos_pos)
-                        + s @ jnp.take(weights, sin_pos)), None
+                return (jnp.matmul(c, jnp.take(weights, cos_pos),
+                                   precision=mp)
+                        + jnp.matmul(s, jnp.take(weights, sin_pos),
+                                     precision=mp)), None
             z = feature_fn(params, x, slen)
-            mean = z @ weights
+            mean = jnp.matmul(z, weights, precision=mp)
             if not get_var:
                 return mean, None
             zv = jnp.take(z, var_idx, axis=1)
@@ -69,6 +72,31 @@ class GPRegression(ModelBaseclass):
             pred_var = lam2 + lam2 * jnp.sum(zv * pv, axis=1)
             return mean, pred_var
         self._predict_step = (id(self.kernel), step)
+        return step
+
+    def _nystrom_predict_step_fn(self):
+        """Fused chunk program for the Nystrom-variance path (Linear
+        kernels): features -> mean and lam^2 (1 + z P^{-1} z^T) variance,
+        with the preconditioner applied inside jit instead of a host
+        dispatch per 2000-row chunk."""
+        cached = getattr(self, "_nystrom_predict_step", None)
+        if cached is not None and cached[0] == id(self.kernel):
+            return cached[1]
+        feature_fn = self.kernel.pure_feature_fn()
+
+        @jax.jit
+        def step(params, x, weights, u_mat, inv_eig, prefactor, lam2):
+            mp = _cfg.matmul_precision()
+            z = feature_fn(params, x, None)
+            mean = jnp.matmul(z, weights, precision=mp)
+            zt = z.T
+            xp = jnp.matmul(u_mat.T, zt, precision=mp)
+            pv = (zt - jnp.matmul(u_mat, xp, precision=mp)) + \
+                jnp.matmul(u_mat, inv_eig[:, None] * prefactor * xp,
+                           precision=mp)
+            pred_var = lam2 + lam2 * jnp.sum(z * pv.T, axis=1)
+            return mean, pred_var
+        self._nystrom_predict_step = (id(self.kernel), step)
         return step
 
     def predict(self, input_x, sequence_lengths=None, get_var=False,
@@ -85,6 +113,7 @@ class GPRegression(ModelBaseclass):
 
         use_fused = self.exact_var_calculation or not get_var
         step = self._predict_step_fn() if use_fused else None
+        nystrom_step = None if use_fused else self._nystrom_predict_step_fn()
         if use_fused and get_var:
             var_mat = jnp.asarray(self.var, dtype=dtype)
             var_idx = jnp.asarray(self.kernel.variance_column_indices(
@@ -107,14 +136,12 @@ class GPRegression(ModelBaseclass):
                 if get_var:
                     var.append(np.asarray(pred_var))
             else:
-                # Nystrom-variance path (Linear kernels): preconditioner
-                # object applies outside jit.
-                xfeatures = self.kernel.transform_x(input_x[i:cut, ...],
-                                                    None)
-                preds.append(np.asarray(xfeatures @ weights))
-                pred_var = self.var.batch_matvec(xfeatures.T).T
-                pred_var = lambda_ ** 2 + lambda_ ** 2 * \
-                    jnp.sum(xfeatures * pred_var, axis=1)
+                # Nystrom-variance path (Linear kernels): one fused jit
+                # program per chunk, preconditioner applied inside.
+                mean, pred_var = nystrom_step(
+                    params, xc, weights, self.var.u_mat, self.var.inv_eig,
+                    jnp.asarray(self.var.prefactor, dtype), lam2)
+                preds.append(np.asarray(mean))
                 var.append(np.asarray(pred_var))
 
         preds = np.concatenate(preds)
@@ -179,12 +206,34 @@ class GPRegression(ModelBaseclass):
         return float(negloglik), grad
 
     def approximate_nmll(self, hyperparams, dataset, manual_settings=None):
-        """SLQ-approximated NMLL (xgp_regression.py:264-377)."""
+        """SLQ-approximated NMLL (xgp_regression.py:264-377).
+
+        Degenerate hyperparameter points (singular sketches, CG/SLQ
+        breakdown) return DEFAULT_SCORE_IF_PROBLEM instead of raising, so
+        one bad iterate cannot kill a long scipy.optimize tune -- matching
+        the exact path's graceful degradation (xgp_regression.py:182-201).
+        """
         self._run_singlepoint_nmll_prep(dataset, exact_method=False)
         self.kernel.set_hyperparams(hyperparams, logspace=True)
         if self.verbose:
             print("Now building preconditioner...")
+        try:
+            negloglik = self._approximate_nmll_inner(dataset,
+                                                     manual_settings)
+        except Exception:
+            warnings.warn("Numerical failure encountered when calculating "
+                          f"approximate NMLL for {hyperparams}.")
+            self._nmll_rank_cache = None
+            return constants.DEFAULT_SCORE_IF_PROBLEM
+        if not np.isfinite(negloglik):
+            warnings.warn("Non-finite approximate NMLL encountered for "
+                          f"{hyperparams}.")
+            return constants.DEFAULT_SCORE_IF_PROBLEM
+        if self.verbose:
+            print("NMLL evaluation completed.")
+        return negloglik
 
+    def _approximate_nmll_inner(self, dataset, manual_settings=None):
         settings = dict(constants.DEFAULT_NMLL_PARAMS)
         engine = self._engine(dataset)
         if manual_settings is not None:
@@ -229,8 +278,6 @@ class GPRegression(ModelBaseclass):
         negloglik, _ = optimize_alpha_beta(
             self.kernel.get_lambda(), np.array([nll1, 0.5 * logdet]),
             ndatapoints, num_rffs)
-        if self.verbose:
-            print("NMLL evaluation completed.")
         return negloglik
 
     # ------------------------------------------------------------------

@@ -48,6 +48,13 @@ class FastConv1d:
                     "You have specified an accelerator device but no "
                     "accelerator is visible to JAX.")
             dev = accel[0]
+            requested = "gpu" if value == "cuda" else value
+            if dev.platform != requested:
+                import warnings
+                warnings.warn(
+                    f"Requested device '{value}' but the visible "
+                    f"accelerator is '{dev.platform}'; running on "
+                    f"{dev.platform}.", UserWarning)
         jax.config.update("jax_default_device", dev)
         self._device = value
 

@@ -38,11 +38,18 @@ def pallas_feature_shapes_ok(n, d, num_freqs, padded, dtype) -> bool:
 
 
 def _feature_kernel(x_ref, proj_ref, out_ref, *, width, scale):
-    from ..sincos import sincos
+    # Inside Pallas use the unguarded polynomial / builtin split directly:
+    # the runtime max-|arg| guard (ops/sincos._guarded_poly_sincos) is a
+    # lax.cond, which does not belong in a kernel body.  Callers route
+    # extreme-argument workloads through the XLA path.
+    from ..sincos import _poly_sincos, sincos_mode
     arg = jnp.dot(x_ref[:], proj_ref[:],
                   preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
-    cosv, sinv = sincos(arg)
+    if sincos_mode() == "exact" or arg.dtype != jnp.float32:
+        cosv, sinv = jnp.cos(arg), jnp.sin(arg)
+    else:
+        cosv, sinv = _poly_sincos(arg)
     out_ref[:, :width] = cosv * scale
     out_ref[:, width:] = sinv * scale
 

@@ -16,8 +16,11 @@ fuses it into the surrounding feature-map program; no Pallas needed.
 
 Validity: exact Cody-Waite products require |arg| < ~2^13 (n*DP1 exact in
 fp32).  Feature-map arguments are sigma-scaled SORF projections of
-standardised data -- O(1)..O(100) in practice; accuracy degrades
-gracefully (like the builtin) beyond that.
+standardised data -- O(1)..O(100) in practice.  ``sincos`` guards this at
+runtime: in "auto" mode a scalar max-|arg| check switches the whole array
+to the exact builtin when any element exceeds the reduction's validity
+range (a large sigma on un-standardised data), so accuracy never silently
+degrades.  Explicit "poly" mode skips the guard.
 
 Mode selection: float64 inputs (CPU test runs reproducing the reference's
 fp64 contract) always use the exact builtin; float32 uses the polynomial
@@ -69,6 +72,24 @@ def _poly_sincos(x: jnp.ndarray):
     return cos_v, sin_v
 
 
+# Cody-Waite reduction is exact while n = round(2x/pi) fits DP1's 12-bit
+# mantissa; beyond |x| ~ 2^13 the n*DP1 product rounds and r drifts.
+_POLY_ARG_LIMIT = 8192.0
+
+
+def _guarded_poly_sincos(x: jnp.ndarray):
+    """Polynomial path with a runtime validity guard: if any |x| exceeds
+    the Cody-Waite range, the whole array falls back to the exact builtin
+    (one scalar reduction + a branch; only the taken side executes)."""
+    import jax
+
+    def exact(v):
+        return jnp.cos(v), jnp.sin(v)
+
+    big = jnp.max(jnp.abs(x)) > jnp.asarray(_POLY_ARG_LIMIT, x.dtype)
+    return jax.lax.cond(big, exact, _poly_sincos, x)
+
+
 def sincos(x: jnp.ndarray):
     """Return (cos(x), sin(x)), fast-polynomial for float32 feature paths.
 
@@ -76,6 +97,8 @@ def sincos(x: jnp.ndarray):
     runs keep the reference's numerical contract bit-for-bit.
     """
     mode = sincos_mode()
-    if mode == "poly" or (mode == "auto" and x.dtype == jnp.float32):
+    if mode == "poly":
         return _poly_sincos(x)
+    if mode == "auto" and x.dtype == jnp.float32:
+        return _guarded_poly_sincos(x)
     return jnp.cos(x), jnp.sin(x)

@@ -11,6 +11,13 @@ This mirrors the reference's out-of-core chunk reduction
 (cg_tools.py:26-53) but turns the Python ``+=`` loop into an SPMD
 collective, which is exactly the transformation the chunk-sum's
 associativity licenses.
+
+Each reduction is split into a *program* (a jitted shard_map over a
+(batches, chunk, ...) stack, built once per engine) and a *driver* that
+feeds it.  ``ShardedEngine`` feeds the whole device-resident stack in one
+call; ``StreamingShardedEngine`` (parallel/streaming.py) feeds the same
+programs superbatch-by-superbatch for datasets larger than aggregate
+device memory.
 """
 from functools import partial
 
@@ -22,25 +29,7 @@ from jax import shard_map
 
 from .mesh import DATA_AXIS, data_mesh
 from .. import config
-
-def _mm(a, b):
-    from .. import config as _cfg
-    return jnp.matmul(a, b, precision=_cfg.matmul_precision())
-
-def _ztzv_contract(z, v):
-    """Z^T (Z v) with optional bf16 feature materialisation
-    (config.set_feature_dtype): halves the dominant HBM traffic of the
-    matvec; accumulation stays float32."""
-    from .. import config as _cfg
-    fd = _cfg.feature_dtype()
-    if fd is not None:
-        zb = z.astype(fd)
-        zv = jnp.matmul(zb, v.astype(fd),
-                        preferred_element_type=jnp.float32)
-        return jnp.matmul(zb.T, zv.astype(fd),
-                          preferred_element_type=jnp.float32)
-    return _mm(z.T, _mm(z, v))
-
+from ..ops.contract import mm as _mm, ztzv_contract as _ztzv_contract
 
 
 class ShardedEngine:
@@ -129,37 +118,37 @@ class ShardedEngine:
         z = self.fn(params, xb, lb)
         return z * mb[:, None]
 
+    def _shard_reduce(self, local, n_rep_in, n_out):
+        """shard_map wrapper: data stack sharded on the batch axis,
+        trailing n_rep_in operands replicated, n_out replicated outputs."""
+        data_specs = (P(DATA_AXIS),) * 4
+        out_specs = P() if n_out == 1 else (P(),) * n_out
+        fn = shard_map(local, mesh=self.mesh, check_vma=False,
+                       in_specs=(P(),) + data_specs + (P(),) * n_rep_in,
+                       out_specs=out_specs)
+        return jax.jit(fn)
+
     # ------------------------------------------------------------------
-    def ztzv(self, vec):
+    # reduction programs: jitted shard_map over a (B, chunk, ...) stack.
+    # Drivers below feed the whole stack (stacked mode) or superbatches
+    # (streaming subclass).
+    def _prog_ztzv(self):
         feat = self._feat
 
         def build():
-            def local(params, x, l, m, v):
+            def local(params, x, l, m, y, v):
                 def body(acc, batch):
                     xb, lb, mb = batch
                     z = feat(params, xb, lb, mb)
                     return acc + _ztzv_contract(z, v), None
                 init = jnp.zeros((self.num_rffs, v.shape[-1]),
                                  dtype=v.dtype)
-                xs = (x, l, m)
-                acc, _ = jax.lax.scan(body, init, xs)
+                acc, _ = jax.lax.scan(body, init, (x, l, m))
                 return jax.lax.psum(acc, DATA_AXIS)
+            return self._shard_reduce(local, 1, 1)
+        return self._get_jit("ztzv", build)
 
-            data_specs = (P(DATA_AXIS),) * 3
-            fn = shard_map(local, mesh=self.mesh, check_vma=False,
-                           in_specs=(P(),) + data_specs + (P(),),
-                           out_specs=P())
-            return jax.jit(fn)
-        run = self._get_jit("ztzv", build)
-        v2 = jnp.asarray(vec, self._dtype).reshape(self.num_rffs, -1)
-        args = (self._params(), self._x, self._l, self._m, v2)
-        out = run(*args)
-        return out.reshape(vec.shape)
-
-    def gauss_pass(self, q_mat):
-        return self.ztzv(q_mat)
-
-    def zty(self):
+    def _prog_zty(self):
         feat = self._feat
 
         def build():
@@ -173,22 +162,13 @@ class ShardedEngine:
                             yty + ym @ ym), None
                 init = (jnp.zeros((self.num_rffs,), dtype=x.dtype),
                         jnp.zeros((), dtype=x.dtype))
-                xs = (x, l, m, y)
-                (acc, yty), _ = jax.lax.scan(body, init, xs)
+                (acc, yty), _ = jax.lax.scan(body, init, (x, l, m, y))
                 return (jax.lax.psum(acc, DATA_AXIS),
                         jax.lax.psum(yty, DATA_AXIS))
+            return self._shard_reduce(local, 0, 2)
+        return self._get_jit("zty", build)
 
-            data_specs = (P(DATA_AXIS),) * 4
-            fn = shard_map(local, mesh=self.mesh, check_vma=False,
-                           in_specs=(P(),) + data_specs,
-                           out_specs=(P(), P()))
-            return jax.jit(fn)
-        run = self._get_jit("zty", build)
-        args = (self._params(), self._x, self._l, self._m, self._y)
-        acc, yty = run(*args)
-        return acc, float(yty)
-
-    def design_mat(self):
+    def _prog_design_mat(self):
         feat = self._feat
 
         def build():
@@ -205,63 +185,35 @@ class ShardedEngine:
                 init = (jnp.zeros((m_rffs, m_rffs), dtype=x.dtype),
                         jnp.zeros((m_rffs,), dtype=x.dtype),
                         jnp.zeros((), dtype=x.dtype))
-                xs = (x, l, m, y)
-                (ztz, zty, yty), _ = jax.lax.scan(body, init, xs)
+                (ztz, zty, yty), _ = jax.lax.scan(body, init,
+                                                  (x, l, m, y))
                 return (jax.lax.psum(ztz, DATA_AXIS),
                         jax.lax.psum(zty, DATA_AXIS),
                         jax.lax.psum(yty, DATA_AXIS))
+            return self._shard_reduce(local, 0, 3)
+        return self._get_jit("design_mat", build)
 
-            data_specs = (P(DATA_AXIS),) * 4
-            fn = shard_map(local, mesh=self.mesh, check_vma=False,
-                           in_specs=(P(),) + data_specs,
-                           out_specs=(P(), P(), P()))
-            return jax.jit(fn)
-        run = self._get_jit("design_mat", build)
-        args = (self._params(), self._x, self._l, self._m, self._y)
-        ztz, zty, yty = run(*args)
-        return ztz, zty, float(yty)
-
-    def var_design_mat(self, variance_rffs):
+    def _prog_var_design_mat(self, variance_rffs, idx_np):
         feat = self._feat
-        idx_np = self.kernel.variance_column_indices(variance_rffs)
 
         def build():
             idx = jnp.asarray(idx_np)
 
-            def local(params, x, l, m):
+            def local(params, x, l, m, y):
                 def body(acc, batch):
                     xb, lb, mb = batch
                     z = jnp.take(feat(params, xb, lb, mb), idx, axis=1)
                     return acc + _mm(z.T, z), None
                 init = jnp.zeros((variance_rffs, variance_rffs),
                                  dtype=x.dtype)
-                xs = (x, l, m)
-                acc, _ = jax.lax.scan(body, init, xs)
+                acc, _ = jax.lax.scan(body, init, (x, l, m))
                 return jax.lax.psum(acc, DATA_AXIS)
+            return self._shard_reduce(local, 0, 1)
+        return self._get_jit(f"var_design_mat_{variance_rffs}", build)
 
-            data_specs = (P(DATA_AXIS),) * 3
-            fn = shard_map(local, mesh=self.mesh, check_vma=False,
-                           in_specs=(P(),) + data_specs,
-                           out_specs=P())
-            return jax.jit(fn)
-        run = self._get_jit(f"var_design_mat_{variance_rffs}", build)
-        args = (self._params(), self._x, self._l, self._m)
-        return run(*args)
-
-    def sketch(self, srht_radem, sample_idx, with_zty=True,
-               row_keep_prob=None, seed=123):
+    def _prog_sketch(self, rank, with_zty):
         from ..ops.sorf import srht_rows
         feat = self._feat
-        rank = sample_idx.shape[0]
-
-        mask_stack = self._m
-        if row_keep_prob is not None and row_keep_prob < 1.0:
-            rng = np.random.default_rng(seed)
-            keep = (rng.random(tuple(self._m.shape)) <
-                    row_keep_prob).astype(np.float64)
-            mask_stack = self._m * jax.device_put(
-                jnp.asarray(keep, self._m.dtype),
-                NamedSharding(self.mesh, P(DATA_AXIS)))
 
         def build():
             def local(params, x, l, m, y, radem, idx):
@@ -283,32 +235,13 @@ class ShardedEngine:
                             jnp.zeros((), dtype=x.dtype))
                 else:
                     init = jnp.zeros((rank, m_rffs), dtype=x.dtype)
-                xs = (x, l, m, y)
-                out, _ = jax.lax.scan(body, init, xs)
+                out, _ = jax.lax.scan(body, init, (x, l, m, y))
                 return jax.tree.map(
                     lambda t: jax.lax.psum(t, DATA_AXIS), out)
+            return self._shard_reduce(local, 2, 3 if with_zty else 1)
+        return self._get_jit(f"sketch_{rank}_{with_zty}", build)
 
-            data_specs = (P(DATA_AXIS),) * 4
-            out_specs = (P(), P(), P()) if with_zty else P()
-            fn = shard_map(local, mesh=self.mesh, check_vma=False,
-                           in_specs=(P(),) + data_specs + (P(), P()),
-                           out_specs=out_specs)
-            return jax.jit(fn)
-        name = f"sketch_{rank}_{with_zty}"
-        run = self._get_jit(name, build)
-        radem = jnp.asarray(srht_radem, self._dtype)
-        idx = jnp.asarray(sample_idx)
-        args = (self._params(), self._x, self._l, mask_stack, self._y, radem, idx)
-        out = run(*args)
-        if with_zty:
-            acc, zty, yty = out
-            return acc, zty, float(yty)
-        return out
-
-    def softmax_linesearch(self, wvec, direction, steps, lambda_):
-        """SPMD one-pass line search: per-shard CE loss of (W + t D) at
-        every candidate step, psum'd over the mesh.  Mirrors
-        Engine.softmax_linesearch."""
+    def _prog_softmax_ls(self):
         feat = self._feat
 
         def build():
@@ -330,27 +263,10 @@ class ShardedEngine:
                 init = jnp.zeros((steps.shape[0],), w.dtype)
                 acc, _ = jax.lax.scan(body, init, (x, l, m, y))
                 return jax.lax.psum(acc, DATA_AXIS)
+            return self._shard_reduce(local, 3, 1)
+        return self._get_jit("softmax_ls", build)
 
-            data_specs = (P(DATA_AXIS),) * 4
-            fn = shard_map(local, mesh=self.mesh, check_vma=False,
-                           in_specs=(P(),) + data_specs + (P(),) * 3,
-                           out_specs=P())
-            return jax.jit(fn)
-        run = self._get_jit("softmax_ls", build)
-        return run(self._params(), self._x, self._l, self._m, self._y,
-                   jnp.asarray(wvec, self._dtype),
-                   jnp.asarray(direction, self._dtype),
-                   jnp.asarray(steps, self._dtype))
-
-    def gradient_terms(self, subsample=1.0, seed=123):
-        """NMLL-gradient accumulation is small-M work used only by the
-        exact tuner; delegate to the single-device streaming engine."""
-        from ..fitting.engine import Engine
-        return Engine(self.kernel, self.dataset,
-                      mode="streaming").gradient_terms(subsample, seed)
-
-    def classification_loss_grad(self, wvec, lambda_):
-        """SPMD softmax CE loss + grad (classification over the mesh)."""
+    def _prog_class_loss_grad(self):
         feat = self._feat
 
         def build():
@@ -371,20 +287,132 @@ class ShardedEngine:
                             grad + _mm(z.T, (p - onehot) * mb[:, None])), \
                         None
                 init = (jnp.zeros((), dtype=x.dtype), jnp.zeros_like(w))
-                xs = (x, l, m, y)
-                (loss, grad), _ = jax.lax.scan(body, init, xs)
+                (loss, grad), _ = jax.lax.scan(body, init, (x, l, m, y))
                 return (jax.lax.psum(loss, DATA_AXIS),
                         jax.lax.psum(grad, DATA_AXIS))
+            return self._shard_reduce(local, 1, 2)
+        return self._get_jit("class_loss_grad", build)
 
-            data_specs = (P(DATA_AXIS),) * 4
-            fn = shard_map(local, mesh=self.mesh, check_vma=False,
-                           in_specs=(P(),) + data_specs + (P(),),
-                           out_specs=(P(), P()))
-            return jax.jit(fn)
-        run = self._get_jit("class_loss_grad", build)
+    def _prog_gradient_terms(self, grad_fn, nsig):
+        def build():
+            def local(gparams, x, l, m, y):
+                def body(carry, batch):
+                    xb, lb, mb, yb = batch
+                    z, dz = grad_fn(gparams, xb, lb)
+                    z = z * mb[:, None]
+                    dz = dz * mb[:, None, None]
+                    ym = yb * mb
+                    prec = config.matmul_precision()
+                    t = (_mm(z.T, z),
+                         _mm(z.T, ym[:, None])[:, 0],
+                         ym @ ym,
+                         jnp.einsum("nmi,n->mi", dz, ym, precision=prec),
+                         jnp.einsum("nmi,nk->mki", dz, z, precision=prec),
+                         jnp.sum(mb))
+                    return tuple(c + u for c, u in zip(carry, t)), None
+                m_rffs = self.num_rffs
+                init = (jnp.zeros((m_rffs, m_rffs), x.dtype),
+                        jnp.zeros((m_rffs,), x.dtype),
+                        jnp.zeros((), x.dtype),
+                        jnp.zeros((m_rffs, nsig), x.dtype),
+                        jnp.zeros((m_rffs, m_rffs, nsig), x.dtype),
+                        jnp.zeros((), x.dtype))
+                out, _ = jax.lax.scan(body, init, (x, l, m, y))
+                return jax.tree.map(
+                    lambda t: jax.lax.psum(t, DATA_AXIS), out)
+            return self._shard_reduce(local, 0, 6)
+        return self._get_jit("gradient_terms", build)
+
+    # ------------------------------------------------------------------
+    # drivers (whole device-resident stack in one program call)
+    def ztzv(self, vec):
+        run = self._prog_ztzv()
+        v2 = jnp.asarray(vec, self._dtype).reshape(self.num_rffs, -1)
+        out = run(self._params(), self._x, self._l, self._m, self._y, v2)
+        return out.reshape(vec.shape)
+
+    def gauss_pass(self, q_mat):
+        return self.ztzv(q_mat)
+
+    def zty(self):
+        run = self._prog_zty()
+        acc, yty = run(self._params(), self._x, self._l, self._m, self._y)
+        return acc, float(yty)
+
+    def design_mat(self):
+        run = self._prog_design_mat()
+        ztz, zty, yty = run(self._params(), self._x, self._l, self._m,
+                            self._y)
+        return ztz, zty, float(yty)
+
+    def var_design_mat(self, variance_rffs):
+        idx_np = self.kernel.variance_column_indices(variance_rffs)
+        run = self._prog_var_design_mat(variance_rffs, idx_np)
+        return run(self._params(), self._x, self._l, self._m, self._y)
+
+    def _subsampled_mask_stack(self, row_keep_prob, seed):
+        """Row-subsampled copy of the global mask stack (kept-row Bernoulli
+        mask, shapes static -- rand_nys_constructors.py:60-93)."""
+        if row_keep_prob is None or row_keep_prob >= 1.0:
+            return self._m
+        rng = np.random.default_rng(seed)
+        keep = (rng.random(tuple(self._m.shape)) <
+                row_keep_prob).astype(np.float64)
+        return self._m * jax.device_put(
+            jnp.asarray(keep, self._m.dtype),
+            NamedSharding(self.mesh, P(DATA_AXIS)))
+
+    def sketch(self, srht_radem, sample_idx, with_zty=True,
+               row_keep_prob=None, seed=123):
+        rank = sample_idx.shape[0]
+        mask_stack = self._subsampled_mask_stack(row_keep_prob, seed)
+        run = self._prog_sketch(rank, with_zty)
+        radem = jnp.asarray(srht_radem, self._dtype)
+        idx = jnp.asarray(sample_idx)
+        out = run(self._params(), self._x, self._l, mask_stack, self._y,
+                  radem, idx)
+        if with_zty:
+            acc, zty, yty = out
+            return acc, zty, float(yty)
+        return out
+
+    def softmax_linesearch(self, wvec, direction, steps, lambda_):
+        """SPMD one-pass line search: per-shard CE loss of (W + t D) at
+        every candidate step, psum'd over the mesh.  Mirrors
+        Engine.softmax_linesearch."""
+        run = self._prog_softmax_ls()
+        return run(self._params(), self._x, self._l, self._m, self._y,
+                   jnp.asarray(wvec, self._dtype),
+                   jnp.asarray(direction, self._dtype),
+                   jnp.asarray(steps, self._dtype))
+
+    def gradient_terms(self, subsample=1.0, seed=123):
+        """SPMD exact-NMLL gradient accumulation: each device scans its
+        local shard computing (Z^T Z, Z^T y, y^T y, dZ^T y, dZ^T Z, n)
+        partials via the kernel's pure gradient fn, psum'd over the mesh.
+        L-BFGS-B exact tuning therefore runs fully sharded (the reference
+        has no distributed gradient path; SURVEY.md section 2.9)."""
+        grad_fn = self.kernel.pure_gradient_fn()
+        if grad_fn is None:
+            from ..fitting.engine import Engine
+            return Engine(self.kernel, self.dataset,
+                          mode="streaming").gradient_terms(subsample, seed)
+        nsig = self.kernel.get_hyperparams().shape[0] - 1
+        gparams = self.kernel.gradient_params()
+        mask_stack = self._subsampled_mask_stack(
+            subsample if subsample < 1.0 else None, seed)
+        run = self._prog_gradient_terms(grad_fn, nsig)
+        ztz, zty, yty, dz_ty, inner, n = run(
+            gparams, self._x, self._l, mask_stack, self._y)
+        inner = inner + jnp.transpose(inner, (1, 0, 2))
+        return ztz, zty, float(yty), dz_ty, inner, int(n)
+
+    def classification_loss_grad(self, wvec, lambda_):
+        """SPMD softmax CE loss + grad (classification over the mesh)."""
+        run = self._prog_class_loss_grad()
         w = jnp.asarray(wvec, self._dtype)
-        args = (self._params(), self._x, self._l, self._m, self._y, w)
-        loss, grad = run(*args)
+        loss, grad = run(self._params(), self._x, self._l, self._m,
+                         self._y, w)
         grad = grad.at[1:, :].add((lambda_ ** 2) * w[1:, :])
         loss = float(loss) + 0.5 * (lambda_ ** 2) * \
             float(jnp.sum(w[1:, :] ** 2))
