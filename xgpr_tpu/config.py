@@ -187,6 +187,34 @@ def sincos_mode() -> str:
 
 
 # ----------------------------------------------------------------------
+# M-dimension sharding for the fused sharded CG (fitting/fused_cg.py
+# fused_cg_solve_msharded).  At num_rffs >~ 32k the replicated CG state
+# and (M, rank) Nystrom factor stop fitting one chip; sharding them over
+# the mesh turns the matvec accumulation into a reduce-scatter and the
+# preconditioner inner product into a psum.  "auto" enables it when
+# num_rffs >= the threshold and divides the mesh size; "on"/"off" force.
+_M_SHARDING = "auto"
+_M_SHARDING_THRESHOLD = 32768
+
+
+def set_m_sharding(mode: str, threshold: int = None):
+    global _M_SHARDING, _M_SHARDING_THRESHOLD
+    if mode not in ("auto", "on", "off"):
+        raise ValueError("m_sharding must be auto, on or off")
+    _M_SHARDING = mode
+    if threshold is not None:
+        _M_SHARDING_THRESHOLD = int(threshold)
+
+
+def use_m_sharding(num_rffs: int, n_dev: int) -> bool:
+    if _M_SHARDING == "off" or n_dev <= 1 or num_rffs % n_dev != 0:
+        return False
+    if _M_SHARDING == "on":
+        return True
+    return num_rffs >= _M_SHARDING_THRESHOLD
+
+
+# ----------------------------------------------------------------------
 # Engine selection: "auto" uses the sharded (shard_map + psum) engine when
 # more than one accelerator device is visible; "single" always uses the
 # single-device engine; "sharded" forces the sharded engine (useful for

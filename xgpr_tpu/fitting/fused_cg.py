@@ -35,8 +35,12 @@ def _precond_mv(u_mat, inv_eig, prefactor, v):
                                       inv_eig[:, None] * prefactor * xp)
 
 
-def _cg_while(matvec, precond, rhs, lam, max_iter, tol):
+def _cg_while(matvec, precond, rhs, lam, max_iter, tol, col_sum=None):
     """Shared PCG while_loop body; matvec/precond are traced callables.
+
+    col_sum(a) reduces (M, K) -> (K,) over the M axis; the default is a
+    local jnp.sum, and M-sharded callers pass a psum-augmented reduction
+    so inner products are global while iterates stay sharded.
 
     Breakdown safety (essential in float32 on near-singular systems): each
     RHS column carries an 'active' flag.  A column is frozen when it
@@ -48,9 +52,11 @@ def _cg_while(matvec, precond, rhs, lam, max_iter, tol):
     Lanczos sequence ended for SLQ truncation.
     """
     m, k = rhs.shape
-    init_norms = jnp.linalg.norm(rhs, axis=0)
+    if col_sum is None:
+        col_sum = lambda a: jnp.sum(a, axis=0)
+    init_norms = jnp.sqrt(col_sum(rhs * rhs))
     z0 = precond(rhs)
-    rz0 = jnp.sum(rhs * z0, axis=0)
+    rz0 = col_sum(rhs * z0)
 
     state = {
         "x": jnp.zeros_like(rhs),
@@ -75,18 +81,18 @@ def _cg_while(matvec, precond, rhs, lam, max_iter, tol):
         # probes accumulate full-length Lanczos sequences.
         active = s["active"]
         w = matvec(s["p"]) + (lam ** 2) * s["p"]
-        pw = jnp.sum(s["p"] * w, axis=0)
+        pw = col_sum(s["p"] * w)
         alpha_raw = s["rz"] / pw
         bad = jnp.logical_or(~jnp.isfinite(alpha_raw), pw <= 0)
         active = jnp.logical_and(active, ~bad)
         alpha = jnp.where(active, alpha_raw, 0.0)
         x = s["x"] + alpha[None, :] * s["p"]
         r = s["r"] - alpha[None, :] * w
-        err = jnp.linalg.norm(r, axis=0) / init_norms
+        err = jnp.sqrt(col_sum(r * r)) / init_norms
         converged = jnp.logical_or(s["converged"], err < tol)
 
         z = precond(r)
-        rz_next = jnp.sum(r * z, axis=0)
+        rz_next = col_sum(r * z)
         # Non-positive preconditioned residual energy == fp breakdown.
         active = jnp.logical_and(active, rz_next > 0)
         beta = jnp.where(active, rz_next / s["rz"], 0.0)
@@ -209,6 +215,10 @@ def fused_cg_solve_stacked(engine, rhs, lam, precond=None, max_iter=200,
 # multi-device (ShardedEngine): the whole loop runs inside shard_map.
 def fused_cg_solve_sharded(engine, rhs, lam, precond=None, max_iter=200,
                            tol=1e-4):
+    from .. import config as _cfg
+    if _cfg.use_m_sharding(engine.num_rffs, engine.n_dev):
+        return fused_cg_solve_msharded(engine, rhs, lam, precond,
+                                       max_iter, tol)
     from ..parallel.mesh import DATA_AXIS
     feature_fn = engine.fn
     num_rffs = engine.num_rffs
@@ -293,6 +303,83 @@ def fused_cg_solve_sharded(engine, rhs, lam, precond=None, max_iter=200,
     if precond is None:
         # Zero u_mat makes _precond_mv the identity: v - U(U^T v) + ... = v.
         pass
+    return run(engine._params(), engine._x, engine._l, engine._m,
+               jnp.asarray(rhs), jnp.asarray(lam, rhs.dtype), u_mat,
+               inv_eig, prefactor, jnp.asarray(tol, rhs.dtype))
+
+
+# ----------------------------------------------------------------------
+# M-sharded multi-device solver: CG iterates, residuals and the Nystrom
+# preconditioner factor U are sharded over the feature (M) axis of the
+# SAME 1-D mesh whose batch axis shards the data.  Per iteration:
+#   v_full   = all_gather(v_shard)                 (M tiny vs data)
+#   partial  = scan_batches Z_local^T (Z_local v)  (full-M transient)
+#   v_next   = reduce_scatter(partial)             (back to the shard)
+# P^{-1} on shards: U_shard^T v_shard partials psum'd to the (rank, K)
+# inner product, then U_shard maps back -- so the (M, rank) factor, the
+# largest solver-state array at num_rffs >~ 32k, never exists replicated
+# inside the loop.  (Required addition per SURVEY.md section 2.9 /
+# BASELINE north star; the reference has no distributed backend.)
+def fused_cg_solve_msharded(engine, rhs, lam, precond=None, max_iter=200,
+                            tol=1e-4):
+    from ..parallel.mesh import DATA_AXIS
+    from jax.sharding import NamedSharding
+    feature_fn = engine.fn
+    num_rffs = engine.num_rffs
+    n_dev = engine.n_dev
+    assert num_rffs % n_dev == 0, \
+        "M-sharding requires num_rffs divisible by the mesh size."
+
+    def build():
+        mi = max_iter
+
+        def local(params, x, l, m, rhs_s, lam, u_mat_s, inv_eig,
+                  prefactor, tol):
+            def col_sum(a):
+                return jax.lax.psum(jnp.sum(a, axis=0), DATA_AXIS)
+
+            def matvec(v_shard):
+                v_full = jax.lax.all_gather(v_shard, DATA_AXIS, axis=0,
+                                            tiled=True)
+
+                def body(acc, batch):
+                    xb, lb, mb = batch
+                    z = feature_fn(params, xb, lb) * mb[:, None]
+                    return acc + _ztzv_contract(z, v_full), None
+                init = jnp.zeros((num_rffs, v_shard.shape[-1]),
+                                 v_shard.dtype)
+                acc, _ = jax.lax.scan(body, init, (x, l, m))
+                return jax.lax.psum_scatter(acc, DATA_AXIS,
+                                            scatter_dimension=0,
+                                            tiled=True)
+
+            def precond_fn(v_shard):
+                xp = jax.lax.psum(_mm(u_mat_s.T, v_shard), DATA_AXIS)
+                return (v_shard - _mm(u_mat_s, xp)) + \
+                    _mm(u_mat_s, inv_eig[:, None] * prefactor * xp)
+
+            pfn = precond_fn if u_mat_s.shape[-1] > 1 else (lambda v: v)
+            return _cg_while(matvec, pfn, rhs_s, lam, mi, tol,
+                             col_sum=col_sum)
+
+        data_specs = (P(DATA_AXIS),) * 3
+        # rhs and U sharded over M (their axis 0); scalars replicated.
+        fn = shard_map(local, mesh=engine.mesh, check_vma=False,
+                       in_specs=(P(),) + data_specs +
+                       (P(DATA_AXIS), P(), P(DATA_AXIS), P(), P(), P()),
+                       out_specs=(P(DATA_AXIS),) + (P(),) * 5)
+        return jax.jit(fn)
+
+    run = engine._get_jit(f"fused_cg_m_{max_iter}", build)
+
+    if precond is None:
+        u_mat = jnp.zeros((num_rffs, 1), rhs.dtype)
+        inv_eig = jnp.zeros((1,), rhs.dtype)
+        prefactor = jnp.asarray(0.0, rhs.dtype)
+    else:
+        u_mat = precond.u_mat
+        inv_eig = precond.inv_eig
+        prefactor = jnp.asarray(precond.prefactor, rhs.dtype)
     return run(engine._params(), engine._x, engine._l, engine._m,
                jnp.asarray(rhs), jnp.asarray(lam, rhs.dtype), u_mat,
                inv_eig, prefactor, jnp.asarray(tol, rhs.dtype))
