@@ -1,7 +1,8 @@
 """Headline benchmark: streamed CG matvec throughput (the hot loop).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "configs": {...}, "roofline": {...}}
 
 The measured program is the framework's hot loop -- a batched-RHS CG matvec
 Z^T (Z v): SORF random features are generated on-chip and immediately
@@ -14,6 +15,17 @@ host-transfer path of this environment's TPU tunnel.
 ``vs_baseline`` is the ratio to the same program on XLA-CPU on this host
 (the reference's own C++/OpenMP engine cannot be built here: its nanobind
 submodule is empty and the container has no egress).
+
+``configs`` adds BASELINE.json configs #2 and #3 on the accelerator:
+  - matern_100k_cg: fused preconditionerless CG on 100k x 64 rows with a
+    Matern kernel at 4096 RFFs -- row-iterations/second.
+  - conv1d_protein: Conv1dRBF design-matrix pass on protein-shaped
+    variable-length sequences -- window-features/second and rows/second.
+
+``roofline`` measures the headline matvec's two hardware bounds in
+isolation at the same shapes -- the MXU matmul sequence and the VPU
+sincos -- and reports measured time against max(MXU, VPU), the
+lower bound for any schedule of this computation on this chip.
 """
 import json
 import time
@@ -110,6 +122,176 @@ def _matvec_rate(device, n_rows=262144, d=256, num_rffs=8192, chunk=8192,
     return n_rows * num_rffs / float(np.median(times))
 
 
+def _matern_cg_rate(device, n_rows=102400, d=64, num_rffs=4096,
+                    chunk=8192, iters=10, repeats=3):
+    """BASELINE config #2 proxy: fused-CG iteration throughput at 100k
+    rows with a Matern kernel (tol=0 pins the iteration count, so the
+    measurement is exactly `iters` full-dataset matvecs + vector ops)."""
+    import jax
+    import jax.numpy as jnp
+    from xgpr_tpu import build_regression_dataset
+    from xgpr_tpu.fitting.engine import Engine
+    from xgpr_tpu.fitting.fused_cg import fused_cg_solve_stacked
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((n_rows, d)).astype(np.float32)
+    y = x[:, 0].astype(np.float32)
+    dset = build_regression_dataset(x, y, chunk_size=chunk)
+    from xgpr_tpu.kernels import KERNEL_NAME_TO_CLASS
+    kernel = KERNEL_NAME_TO_CLASS["Matern"](
+        (n_rows, d), num_rffs, 123,
+        kernel_spec_parms={"matern_nu": 2.5})
+    kernel.set_hyperparams(np.log(np.array([0.1, 0.25])))
+    engine = Engine(kernel, dset, mode="stacked")
+    lam = kernel.get_lambda()
+    rhs = [jnp.asarray(rng.standard_normal(
+        (num_rffs, 1)).astype(np.float32)) for _ in range(repeats + 1)]
+
+    def run(r):
+        out = fused_cg_solve_stacked(engine, r, lam, None,
+                                     max_iter=iters, tol=0.0)
+        return np.asarray(out[0])
+
+    run(rhs[0])  # compile + warmup
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(rhs[i + 1])
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    return {"row_iterations_per_sec": n_rows * iters / t,
+            "cg_iters_per_sec": iters / t,
+            "rows": n_rows, "num_rffs": num_rffs}
+
+
+def _conv_design_rate(device, n=16384, l=128, d=21, width=9,
+                      num_rffs=4096, chunk=2048, repeats=3):
+    """BASELINE config #3: Conv1dRBF design-matrix pass on protein-shaped
+    variable-length sequences (the sketch / exact-fit hot loop)."""
+    import jax
+    import jax.numpy as jnp
+    from xgpr_tpu.kernels import KERNEL_NAME_TO_CLASS
+
+    kernel = KERNEL_NAME_TO_CLASS["Conv1dRBF"](
+        (n, l, d), num_rffs, 123,
+        kernel_spec_parms={"conv_width": width})
+    kernel.set_hyperparams(np.log(np.array([0.1, 0.25])))
+    fn = kernel.pure_feature_fn()
+    params = jax.device_put(
+        jax.tree.map(lambda a: a.astype(jnp.float32)
+                     if a.dtype.kind == "f" else a,
+                     kernel.feature_params()), device)
+    rng = np.random.default_rng(2)
+    n_chunks = n // chunk
+    xs = [jax.device_put(jnp.asarray(rng.standard_normal(
+        (n_chunks, chunk, l, d)).astype(np.float32)), device)
+        for _ in range(2)]
+    slen = jax.device_put(jnp.asarray(
+        rng.integers(width, l + 1, (n_chunks, chunk)).astype(np.int32)),
+        device)
+
+    def design(x, slen, params):
+        def body(acc, batch):
+            xb, lb = batch
+            z = fn(params, xb, lb)
+            return acc + jnp.matmul(
+                z.T, z, precision=jax.lax.Precision.HIGH), None
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((num_rffs, num_rffs), jnp.float32),
+            (x, slen))
+        return jnp.sum(acc)
+
+    run = jax.jit(design, device=device)
+    np.asarray(run(xs[0], slen, params))
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(run(xs[(i + 1) % 2], slen, params))
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    nw = l - width + 1
+    return {"window_features_per_sec": n * nw * (num_rffs // 2) / t,
+            "rows_per_sec": n / t, "rows": n, "seq_len": l,
+            "num_rffs": num_rffs}
+
+
+def _roofline(device, chunk=8192, d=256, num_rffs=8192, n_rhs=8,
+              n_chunks=32, repeats=3):
+    """Empirical component bounds for the headline matvec at its own
+    shapes: the MXU work (projection + both contractions as plain
+    matmuls) and the VPU work (paired sincos) timed in isolation.
+    max(MXU, VPU) lower-bounds any schedule of the fused computation, so
+    measured/bound says how close the hot loop is to this chip's
+    speed of light."""
+    import jax
+    import jax.numpy as jnp
+    from xgpr_tpu.ops.sincos import _poly_sincos
+    f = num_rffs // 2
+    rng = np.random.default_rng(3)
+    x = jax.device_put(jnp.asarray(rng.standard_normal(
+        (n_chunks, chunk, d)).astype(np.float32)), device)
+    proj = jax.device_put(jnp.asarray(rng.standard_normal(
+        (d, f)).astype(np.float32)), device)
+    v_c = jax.device_put(jnp.asarray(rng.standard_normal(
+        (f, n_rhs)).astype(np.float32)), device)
+    v_s = jax.device_put(jnp.asarray(rng.standard_normal(
+        (f, n_rhs)).astype(np.float32)), device)
+
+    from xgpr_tpu import config as _cfg
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[_cfg.feature_precision()]
+
+    def mxu_only(x, proj, v_c, v_s):
+        # Same matmul sequence as the matvec, transcendentals replaced by
+        # reuse of the projection output (pure MXU + minimal VPU).
+        def body(acc, xb):
+            arg = jnp.matmul(xb, proj, precision=prec)
+            zv = jnp.matmul(arg, v_c, precision=prec) + \
+                jnp.matmul(arg, v_s, precision=prec)
+            return (acc[0] + jnp.matmul(arg.T, zv, precision=prec),
+                    acc[1] + jnp.matmul(arg.T, zv, precision=prec)), None
+        init = (jnp.zeros((f, n_rhs), jnp.float32),
+                jnp.zeros((f, n_rhs), jnp.float32))
+        (a, b), _ = jax.lax.scan(body, init, x)
+        return a + b
+
+    def vpu_only(x, proj):
+        # One cheap matmul to produce the arg, then the sincos pair and
+        # the elementwise mask/scale work of the real kernel.
+        def body(acc, xb):
+            arg = jnp.matmul(xb, proj, precision=jax.lax.Precision.DEFAULT)
+            c, s = _poly_sincos(arg)
+            return acc + jnp.sum(c * 0.01) + jnp.sum(s * 0.01), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), x)
+        return acc
+
+    def timed(fn, args):
+        jfn = jax.jit(fn, device=device)
+        np.asarray(jfn(*args))
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(jfn(*args))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)) / n_chunks
+
+    t_mxu = timed(mxu_only, (x, proj, v_c, v_s))
+    t_vpu = timed(vpu_only, (x, proj))
+    # Measured full matvec per chunk at the same shapes.
+    rate = _matvec_rate(device, n_rows=n_chunks * chunk, d=d,
+                        num_rffs=num_rffs, chunk=chunk, n_rhs=n_rhs,
+                        repeats=repeats)
+    t_meas = chunk * num_rffs / rate
+    bound = max(t_mxu, t_vpu)
+    return {"measured_chunk_ms": 1e3 * t_meas,
+            "mxu_chunk_ms": 1e3 * t_mxu,
+            "vpu_sincos_chunk_ms": 1e3 * t_vpu,
+            "bound_chunk_ms": 1e3 * bound,
+            "fraction_of_bound": bound / t_meas,
+            "bound_kind": "mxu" if t_mxu >= t_vpu else "vpu"}
+
+
 def main():
     import jax
     # Persistent compilation cache: remote compiles in this environment
@@ -133,12 +315,28 @@ def main():
         cpu_rate = _matvec_rate(cpu, n_rows=8192, chunk=2048, repeats=2)
         vs_baseline = value / cpu_rate
 
-    print(json.dumps({
+    out = {
         "metric": "cg_matvec_rff_features_per_sec_per_chip",
         "value": float(value),
         "unit": "features/s",
         "vs_baseline": float(vs_baseline),
-    }))
+    }
+    if accel:
+        configs = {}
+        try:
+            configs["matern_100k_cg"] = _matern_cg_rate(target)
+        except Exception as e:  # never lose the headline metric
+            configs["matern_100k_cg"] = {"error": str(e)[:200]}
+        try:
+            configs["conv1d_protein"] = _conv_design_rate(target)
+        except Exception as e:
+            configs["conv1d_protein"] = {"error": str(e)[:200]}
+        out["configs"] = configs
+        try:
+            out["roofline"] = _roofline(target)
+        except Exception as e:
+            out["roofline"] = {"error": str(e)[:200]}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

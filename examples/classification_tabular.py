@@ -6,10 +6,7 @@ features via preconditioned nonlinear CG.
 
     python examples/classification_tabular.py
 """
-import os
-import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 from xgpr_tpu import GPClassification, build_classification_dataset

@@ -2,10 +2,7 @@
 
     python examples/regression_tabular.py
 """
-import os
-import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 from xgpr_tpu import GPRegression, build_regression_dataset

@@ -6,13 +6,10 @@ streamed design-matrix reduction shape a fit uses.  Reports window-features
 per second (rows x kmers x num_freqs / sec).
 """
 import json
-import sys
-import os
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

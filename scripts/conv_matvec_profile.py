@@ -8,13 +8,10 @@ completion) for a 1M-point-fit-like chunk shape:
   feats    -- full Z^T(Zv) via canonical features (assembled layout)
 """
 import json
-import sys
-import os
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

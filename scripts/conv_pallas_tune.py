@@ -10,12 +10,10 @@ Usage: python scripts/conv_pallas_tune.py VARIANT
 """
 import json
 import sys
-import os
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

@@ -8,13 +8,10 @@ completion) for the bench shapes:
   pallas   -- full Z^T(Zv) matvec, fused Pallas kernel
 """
 import json
-import sys
-import os
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

@@ -9,11 +9,8 @@ pod slice the sharded engine picks up automatically.
     python scripts/million_point_fit.py --rows 1000000 --num-rffs 8192
 """
 import argparse
-import os
-import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

@@ -6,10 +6,7 @@ defaults.  Each variant is a new HLO (slow remote compile on first run;
 cached afterwards).
 """
 import json
-import sys
-import os
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

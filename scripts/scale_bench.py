@@ -10,11 +10,8 @@ On a real pod slice, run it unmodified (defaults to all local devices).
 """
 import argparse
 import json
-import sys
 import time
-import os
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

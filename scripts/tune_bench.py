@@ -7,11 +7,8 @@ NMLL evaluation on a synthetic tabular problem.
 """
 import argparse
 import json
-import os
-import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

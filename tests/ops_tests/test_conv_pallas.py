@@ -33,6 +33,8 @@ def _state(seed, wd, num_freqs):
     (24, 30, 21, 9, 256),     # n % RD != 0, nw % BW != 0
     (16, 40, 4, 3, 128),      # small wd
     (32, 24, 16, 2, 384),     # F not a power of two (3 x 128)
+    (12, 20, 21, 9, 200),     # F not a multiple of 128 (padded tail)
+    (8, 16, 8, 3, 1000),      # ragged F, multiple freq tiles
 ])
 def test_conv_parts_pallas_matches_xla(n, l, d, width, num_freqs):
     rng = np.random.default_rng(hash((n, l, d, width)) % 2 ** 31)
@@ -61,9 +63,10 @@ def test_conv_parts_pallas_matches_xla(n, l, d, width, num_freqs):
 
 def test_conv_parts_shape_gates():
     assert not conv_parts_shapes_ok(100, 189, 4096, jnp.float64)
-    assert not conv_parts_shapes_ok(100, 189, 200, jnp.float32)
     assert not conv_parts_shapes_ok(2, 189, 4096, jnp.float32)   # tiny nw
     assert not conv_parts_shapes_ok(100, 2048, 4096, jnp.float32)  # wd
+    # Ragged frequency counts are padded internally and accepted.
+    assert conv_parts_shapes_ok(100, 189, 200, jnp.float32)
 
 
 def test_conv_kernel_forced_pallas_matches_xla_end_to_end():

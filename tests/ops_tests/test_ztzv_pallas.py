@@ -24,8 +24,15 @@ def _oracle(x, m, proj, sigma, vc, vs, intercept):
 
 
 @pytest.mark.parametrize("intercept", [False, True])
-@pytest.mark.parametrize("n,d,f,k", [(128, 84, 256, 5), (64, 128, 128, 1),
-                                     (96, 10, 384, 8)])
+@pytest.mark.parametrize("n,d,f,k", [
+    (128, 84, 256, 5), (64, 128, 128, 1), (96, 10, 384, 8),
+    # Odd shapes that previously fell back: rows not a tile multiple
+    # (the default chunk_size 2000 % 32 != 0), ragged frequency counts
+    # (num_rffs not a multiple of 256), and both at once -- the oracle
+    # sweep's non-power-2 territory (test_sorf_ops.py:31-34).
+    (2000, 84, 256, 2), (128, 84, 200, 3), (231, 56, 500, 2),
+    (10, 50, 32, 1),
+])
 def test_ztzv_pallas_matches_parts_path(intercept, n, d, f, k):
     rng = np.random.default_rng(hash((n, d, f, k)) % 2 ** 31)
     x = rng.standard_normal((n, d)).astype(np.float32)
@@ -46,9 +53,26 @@ def test_ztzv_pallas_matches_parts_path(intercept, n, d, f, k):
 
 
 def test_ztzv_shape_gates():
-    # fp64, ragged freq counts, or VMEM-busting shapes are rejected so the
-    # solver falls back to the XLA path.
+    # fp64 or VMEM-busting shapes are rejected so the solver falls back
+    # to the XLA path; ragged freq counts and arbitrary row counts are
+    # handled by internal padding and accepted.
     assert not ztzv_shapes_ok(128, 84, 256, jnp.float64)
-    assert not ztzv_shapes_ok(128, 84, 200, jnp.float32)
-    assert not ztzv_shapes_ok(129, 84, 256, jnp.float32)  # no tile divides
     assert not ztzv_shapes_ok(128, 84, 1 << 17, jnp.float32)  # VMEM
+    assert ztzv_shapes_ok(128, 84, 200, jnp.float32)
+    assert ztzv_shapes_ok(129, 84, 256, jnp.float32)
+    assert ztzv_shapes_ok(2000, 84, 4096, jnp.float32)  # default chunk
+
+
+def test_fallback_is_observable():
+    """A hot-path fallback must warn once (and only once)."""
+    import warnings
+    from xgpr_tpu.utils import fallback
+
+    fallback.reset()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        fallback.note_fallback("ztzv matvec", "dtype=float64")
+        fallback.note_fallback("ztzv matvec", "dtype=float64")
+    msgs = [w for w in rec if issubclass(w.category, RuntimeWarning)]
+    assert len(msgs) == 1
+    assert "XLA path" in str(msgs[0].message)

@@ -183,6 +183,11 @@ class SORFKernelBaseclass(KernelBaseclass):
                                                   ztzv_parts_pallas)
             if x.ndim != 2 or not ztzv_shapes_ok(
                     x.shape[0], x.shape[1], num_freqs, x.dtype):
+                from ..utils.fallback import note_fallback
+                note_fallback(
+                    "ztzv matvec",
+                    f"rows={x.shape[0]} d={x.shape[-1]} "
+                    f"F={num_freqs} dtype={x.dtype}")
                 return None
             interp = _cfg.default_backend() == "cpu"
             return ztzv_parts_pallas(x, m, params["proj"],

@@ -235,8 +235,16 @@ class ConvKernelBaseclass(KernelBaseclass):
                                                   conv_parts_pallas)
             from .. import config as _cfg
             nw = x.shape[1] - width + 1
-            if pallas_ok and x.ndim == 3 and conv_parts_shapes_ok(
-                    nw, width * x.shape[2], num_freqs, x.dtype):
+            supported = pallas_ok and x.ndim == 3 and \
+                conv_parts_shapes_ok(nw, width * x.shape[2], num_freqs,
+                                     x.dtype)
+            if pallas_ok and not supported:
+                from ..utils.fallback import note_fallback
+                note_fallback(
+                    "conv window loop",
+                    f"windows={nw} w*d={width * x.shape[-1]} "
+                    f"F={num_freqs} dtype={x.dtype}")
+            if supported:
                 interp = _cfg.default_backend() == "cpu"
                 c, s = conv_parts_pallas(
                     x, seq_len, params["proj"], params["sigma"],

@@ -73,16 +73,16 @@ def _tile_plan(num_freqs, wd_padded, bw=None):
 
 
 def conv_parts_shapes_ok(num_windows, wd, num_freqs, dtype) -> bool:
-    """Whether the fused conv kernel supports this configuration."""
+    """Whether the fused conv kernel supports this configuration.
+    num_freqs is padded to a lane multiple inside the wrappers (zero
+    projection columns, outputs sliced), so any frequency count works."""
     if dtype not in (jnp.float32, np.float32):
-        return False
-    if num_freqs % 128 != 0:
         return False
     if num_windows < 4:          # tiny window counts: XLA path is fine
         return False
     if _round_up(wd, 128) > 1024:  # conv_width*D beyond one VMEM stripe
         return False
-    return _tile_plan(num_freqs, _round_up(wd, 128),
+    return _tile_plan(_round_up(num_freqs, 128), _round_up(wd, 128),
                       _window_block(num_windows)) is not None
 
 
@@ -167,7 +167,8 @@ def conv_maxpool_pallas(x, seq_lengths, proj, width, num_freqs,
     nw = l - width + 1
     wd = width * d
     bw = _window_block(nw)
-    ft = _tile_plan(num_freqs, _round_up(wd, 128), bw)
+    fp = _round_up(num_freqs, 128)
+    ft = _tile_plan(fp, _round_up(wd, 128), bw)
     if ft is None:
         raise ValueError("unsupported shapes for the fused conv kernel")
 
@@ -182,19 +183,21 @@ def conv_maxpool_pallas(x, seq_lengths, proj, width, num_freqs,
     nwp = _round_up(nw, bw)
     np_rows = _round_up(n, _RD)
     xw = jnp.pad(xw, ((0, np_rows - n), (0, nwp - nw), (0, p - wd)))
-    proj_cm = jnp.pad(proj_cm, ((0, p - wd), (0, 0)))
+    # Padded frequency columns are zero projections; their outputs are
+    # sliced off below.
+    proj_cm = jnp.pad(proj_cm, ((0, p - wd), (0, fp - num_freqs)))
 
     nk = seq_lengths.astype(jnp.int32) - width + 1
     nk = jnp.pad(nk, (0, np_rows - n))
     widx = jnp.arange(nwp, dtype=jnp.int32)
     mask = (widx[None, :] < nk[:, None]).astype(jnp.float32)[:, :, None]
 
-    grid = (np_rows // _RD, num_freqs // ft, nwp // bw)
+    grid = (np_rows // _RD, fp // ft, nwp // bw)
     from ... import config as _cfg
     out = pl.pallas_call(
         partial(_conv_maxpool_kernel,
                 precision=_cfg.feature_matmul_precision()),
-        out_shape=jax.ShapeDtypeStruct((np_rows, num_freqs), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((np_rows, fp), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_RD, bw, p), lambda i, j, k: (i, k, 0),
@@ -208,7 +211,7 @@ def conv_maxpool_pallas(x, seq_lengths, proj, width, num_freqs,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xw, mask, proj_cm)
-    return out[:n]
+    return out[:n, :num_freqs]
 
 
 @partial(jax.jit, static_argnames=("width", "num_freqs", "interpret"))
@@ -223,7 +226,7 @@ def conv_parts_pallas(x, seq_lengths, proj, sigma, width, num_freqs,
             (t*D + c), chi folded in.
         sigma: scalar lengthscale (traced).
         width: conv width (static).
-        num_freqs: F (static, multiple of 128).
+        num_freqs: F (static; padded internally to a lane multiple).
 
     Returns:
         (c, s) -- the masked window sums WITHOUT row averaging or the
@@ -234,7 +237,8 @@ def conv_parts_pallas(x, seq_lengths, proj, sigma, width, num_freqs,
     nw = l - width + 1
     wd = width * d
     bw = _window_block(nw)
-    ft = _tile_plan(num_freqs, _round_up(wd, 128), bw)
+    fp = _round_up(num_freqs, 128)
+    ft = _tile_plan(fp, _round_up(wd, 128), bw)
     if ft is None:
         raise ValueError("unsupported shapes for the fused conv kernel")
 
@@ -252,7 +256,8 @@ def conv_parts_pallas(x, seq_lengths, proj, sigma, width, num_freqs,
     nwp = _round_up(nw, bw)
     np_rows = _round_up(n, _RD)
     xw = jnp.pad(xw, ((0, np_rows - n), (0, nwp - nw), (0, p - wd)))
-    proj_cm = jnp.pad(proj_cm, ((0, p - wd), (0, 0)))
+    # Padded frequency columns are zero projections; outputs sliced off.
+    proj_cm = jnp.pad(proj_cm, ((0, p - wd), (0, fp - num_freqs)))
 
     nk = seq_lengths.astype(jnp.int32) - width + 1
     nk = jnp.pad(nk, (0, np_rows - n))
@@ -260,14 +265,14 @@ def conv_parts_pallas(x, seq_lengths, proj, sigma, width, num_freqs,
     mask = (widx[None, :] < nk[:, None]).astype(jnp.float32)[:, :, None]
 
     sig = jnp.asarray(sigma, jnp.float32).reshape(1, 1)
-    grid = (np_rows // _RD, num_freqs // ft, nwp // bw)
+    grid = (np_rows // _RD, fp // ft, nwp // bw)
     from ... import config as _cfg
     c, s = pl.pallas_call(
         partial(_conv_parts_kernel,
                 precision=_cfg.feature_matmul_precision()),
         out_shape=(
-            jax.ShapeDtypeStruct((np_rows, num_freqs), jnp.float32),
-            jax.ShapeDtypeStruct((np_rows, num_freqs), jnp.float32),
+            jax.ShapeDtypeStruct((np_rows, fp), jnp.float32),
+            jax.ShapeDtypeStruct((np_rows, fp), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -288,4 +293,4 @@ def conv_parts_pallas(x, seq_lengths, proj, sigma, width, num_freqs,
         ),
         interpret=interpret,
     )(sig, xw, mask, proj_cm)
-    return c[:n], s[:n]
+    return c[:n, :num_freqs], s[:n, :num_freqs]

@@ -40,10 +40,10 @@ def _round_up(x, m):
 
 
 def _pick_tile(n_rows, d_padded, num_freqs):
-    """Largest row tile whose working set fits the VMEM budget."""
+    """Largest row tile whose working set fits the VMEM budget.  Row
+    counts need not divide the tile -- the wrapper zero-pads rows (mask 0)
+    up to a tile multiple, so any chunk size takes the fused path."""
     for r in (512, 256, 128, 64, 32):
-        if n_rows % r != 0:
-            continue
         # proj + x tile + (arg, c, s) + vectors/accumulators slack
         working = 4 * (d_padded * num_freqs + r * d_padded
                        + 3 * r * num_freqs) + 512 * 1024
@@ -53,12 +53,13 @@ def _pick_tile(n_rows, d_padded, num_freqs):
 
 
 def ztzv_shapes_ok(n_rows, d, num_freqs, dtype) -> bool:
-    """Whether the fused matvec kernel supports this configuration."""
+    """Whether the fused matvec kernel supports this configuration.
+    num_freqs is padded to a lane multiple inside the wrapper, so the
+    only hard gates are fp32 and the VMEM working-set fit."""
     if dtype not in (jnp.float32, np.float32):
         return False
-    if num_freqs % 128 != 0:
-        return False
-    return _pick_tile(n_rows, _round_up(d, 128), num_freqs) is not None
+    return _pick_tile(n_rows, _round_up(d, 128),
+                      _round_up(num_freqs, 128)) is not None
 
 
 def _dot_high(a, b, dims):
@@ -141,22 +142,36 @@ def ztzv_parts_pallas(x, m, proj, sigma, v_c, v_s, fit_intercept,
     if dp != d:
         x = jnp.pad(x, ((0, 0), (0, dp - d)))
         proj = jnp.pad(proj, ((0, dp - d), (0, 0)))
-    r = _pick_tile(n, dp, num_freqs)
+    # Pad the frequency axis to a lane multiple with zero projection
+    # columns: padded frequencies see v rows of zero (zv unchanged) and
+    # their output rows are sliced off, so results are exact.
+    fp = _round_up(num_freqs, 128)
+    if fp != num_freqs:
+        proj = jnp.pad(proj, ((0, 0), (0, fp - num_freqs)))
+        v_c = jnp.pad(v_c, ((0, fp - num_freqs), (0, 0)))
+        v_s = jnp.pad(v_s, ((0, fp - num_freqs), (0, 0)))
+    r = _pick_tile(n, dp, fp)
     if r is None:
         raise ValueError("unsupported shapes for the fused matvec kernel")
+    # Pad rows to a tile multiple; padded rows carry mask 0 and so
+    # contribute exactly zero to the accumulators.
+    np_rows = _round_up(n, r)
+    m2 = m.astype(jnp.float32).reshape(n, 1)
+    if np_rows != n:
+        x = jnp.pad(x, ((0, np_rows - n), (0, 0)))
+        m2 = jnp.pad(m2, ((0, np_rows - n), (0, 0)))
     k = v_c.shape[1]
     scale = np.float32(rbf_norm_constant(num_freqs, fit_intercept))
     sig = jnp.asarray(sigma, jnp.float32).reshape(1, 1)
-    m2 = m.astype(jnp.float32).reshape(n, 1)
 
-    grid = (n // r,)
+    grid = (np_rows // r,)
     from ... import config as _cfg
     oc, os_ = pl.pallas_call(
         partial(_ztzv_kernel, scale=scale, intercept=fit_intercept,
                 precision=_cfg.feature_matmul_precision()),
         out_shape=(
-            jax.ShapeDtypeStruct((num_freqs, k), jnp.float32),
-            jax.ShapeDtypeStruct((num_freqs, k), jnp.float32),
+            jax.ShapeDtypeStruct((fp, k), jnp.float32),
+            jax.ShapeDtypeStruct((fp, k), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -166,19 +181,22 @@ def ztzv_parts_pallas(x, m, proj, sigma, v_c, v_s, fit_intercept,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dp, num_freqs), lambda i: (0, 0),
+            pl.BlockSpec((dp, fp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_freqs, k), lambda i: (0, 0),
+            pl.BlockSpec((fp, k), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_freqs, k), lambda i: (0, 0),
+            pl.BlockSpec((fp, k), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((num_freqs, k), lambda i: (0, 0),
+            pl.BlockSpec((fp, k), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_freqs, k), lambda i: (0, 0),
+            pl.BlockSpec((fp, k), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(sig, x, m2, proj, v_c, v_s)
+    if fp != num_freqs:
+        oc = oc[:num_freqs]
+        os_ = os_[:num_freqs]
     return oc, os_

@@ -19,10 +19,18 @@ def get_eigvals(engine, subsample=1.0):
             _subsampled_design_mat(engine, subsample)
 
     m = z_trans_z.shape[0]
-    z_trans_z = z_trans_z + 1e-5 * jnp.eye(m, dtype=z_trans_z.dtype)
     # Z^T Z is symmetric PSD: eigh == the reference's SVD here
-    # (lb_optimizer.py:103-106) and is much cheaper on TPU.
-    eigvals, eigvecs = jnp.linalg.eigh(z_trans_z)
+    # (lb_optimizer.py:103-106).  The decomposition runs in float64 on
+    # host: accelerator fp32 eigh of a near-singular jittered matrix can
+    # return eigenpairs inaccurate enough that the closed-form score's
+    # explained energy exceeds y^T y, producing spuriously negative NMLL
+    # that the tuner then chases to the bounds (observed on-chip at
+    # sigma -> 0).  The reference leans on fp64 LAPACK for exactly this
+    # step; the matrix is at most MAX_CLOSED_FORM_RFFS square, so the
+    # host round trip is cheap next to the dataset pass that built it.
+    ztz64 = np.array(z_trans_z, dtype=np.float64)
+    ztz64 += 1e-5 * np.eye(m)
+    eigvals, eigvecs = np.linalg.eigh(ztz64)
     eigvals = eigvals[::-1] - 1e-5
     eigvecs = eigvecs[:, ::-1]
 
@@ -64,8 +72,14 @@ def generate_scoregrid(num_rffs, eigvals, proj, lambda_grid, y_trans_y,
     """Closed-form NMLL for each lambda grid point
     (lb_optimizer.py:122-168)."""
     eigval_batch = eigvals[:, None] + lambda_grid[None, :] ** 2
-    scoregrid = y_trans_y - proj @ (proj[:, None] / eigval_batch)
-    scoregrid = np.clip(scoregrid, 0, None)
+    resid = y_trans_y - proj @ (proj[:, None] / eigval_batch)
+    # In exact arithmetic the explained energy cannot exceed y^T y; a
+    # materially negative residual means the eigenpairs were too
+    # inaccurate to score (fp32 breakdown) -- flag those grid points as
+    # degenerate instead of letting a zero-clipped quadratic term turn
+    # the logdet into a spuriously attractive score.
+    bad = resid < -1e-3 * max(abs(y_trans_y), 1e-30)
+    scoregrid = np.clip(resid, 0, None)
     scoregrid = 0.5 * scoregrid
 
     beta = np.sqrt(2 * scoregrid / (ndatapoints * lambda_grid ** 2))
@@ -76,6 +90,9 @@ def generate_scoregrid(num_rffs, eigvals, proj, lambda_grid, y_trans_y,
     scoregrid += (ndatapoints - num_rffs) * np.log(lambda_grid)
     scoregrid += ndatapoints * 0.5 * np.log(2 * np.pi) \
         + ndatapoints * np.log(beta)
+    from ..constants import DEFAULT_SCORE_IF_PROBLEM
+    scoregrid = np.where(bad | ~np.isfinite(scoregrid),
+                         DEFAULT_SCORE_IF_PROBLEM, scoregrid)
     return scoregrid
 
 

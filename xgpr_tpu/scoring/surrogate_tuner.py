@@ -134,9 +134,15 @@ def surrogate_grid_tuning(kernel, engine_factory, bounds, random_seed,
         score_unit_point(u)
 
     while n_done < budget:
-        finite = score_history[:n_done][np.isfinite(score_history[:n_done])]
-        worst = float(finite.max()) if finite.size else 0.0
-        capped = np.where(np.isfinite(score_history), score_history, worst)
+        # Degenerate evaluations return DEFAULT_SCORE_IF_PROBLEM (1e40);
+        # feed the surrogate the worst REAL score instead so one sentinel
+        # cannot flatten the GP's normalisation of everything else.
+        from ..constants import DEFAULT_SCORE_IF_PROBLEM
+        hist = score_history[:n_done]
+        real = hist[hist < 0.1 * DEFAULT_SCORE_IF_PROBLEM]
+        worst = float(real.max()) if real.size else 0.0
+        capped = np.where(score_history < 0.1 * DEFAULT_SCORE_IF_PROBLEM,
+                          score_history, worst)
 
         cands = _lattice(_N_CANDIDATES, n_dims, random_seed + 7919,
                          offset=n_done * _N_CANDIDATES)
