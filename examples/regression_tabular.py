@@ -10,7 +10,10 @@ from xgpr_tpu import GPRegression, build_regression_dataset
 
 def main():
     rng = np.random.default_rng(0)
-    n, d = 5000, 32
+    # 8-d input: low enough dimensionality that 4k points genuinely pin
+    # down an isotropic RBF surface (in very high dimensions the honest
+    # GP answer for a ridge function is "mostly noise").
+    n, d = 5000, 8
     x = rng.standard_normal((n, d))
     w = rng.standard_normal(d) / np.sqrt(d)
     y = np.sin(2 * x @ w) + 0.1 * rng.standard_normal(n)
