@@ -292,6 +292,98 @@ def _roofline(device, chunk=8192, d=256, num_rffs=8192, n_rhs=8,
             "bound_kind": "mxu" if t_mxu >= t_vpu else "vpu"}
 
 
+def _conv_roofline(device, chunk=2048, l=128, d=21, width=9,
+                   num_rffs=4096, n_chunks=4, repeats=3):
+    """Empirical component bounds for the fused conv window loop at the
+    protein-shaped config: MXU (im2col + window projection) and VPU
+    (sincos pair + masked window reduce) timed in isolation, vs the
+    production conv feature-parts path."""
+    import jax
+    import jax.numpy as jnp
+    from xgpr_tpu.kernels import KERNEL_NAME_TO_CLASS
+    from xgpr_tpu.ops.sincos import _poly_sincos
+
+    f = num_rffs // 2
+    nw = l - width + 1
+    wd = width * d
+    kernel = KERNEL_NAME_TO_CLASS["Conv1dRBF"](
+        (n_chunks * chunk, l, d), num_rffs, 123,
+        kernel_spec_parms={"conv_width": width})
+    kernel.set_hyperparams(np.log(np.array([0.1, 0.25])))
+    parts_fn = kernel.pure_feature_parts_fn()
+    params = jax.device_put(
+        jax.tree.map(lambda a: a.astype(jnp.float32)
+                     if a.dtype.kind == "f" else a,
+                     kernel.feature_params()), device)
+    rng = np.random.default_rng(4)
+    x = jax.device_put(jnp.asarray(rng.standard_normal(
+        (n_chunks, chunk, l, d)).astype(np.float32)), device)
+    slen = jax.device_put(jnp.asarray(
+        np.full((n_chunks, chunk), l, dtype=np.int32)), device)
+    proj = jax.device_put(jnp.asarray(rng.standard_normal(
+        (wd, f)).astype(np.float32)), device)
+
+    from xgpr_tpu import config as _cfg
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[_cfg.feature_precision()]
+
+    def patches(xb):
+        return jax.lax.conv_general_dilated_patches(
+            xb, filter_shape=(width,), window_strides=(1,),
+            padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"))
+
+    def mxu_only(x, proj):
+        def body(acc, xb):
+            xw = patches(xb).reshape(chunk * nw, wd)
+            arg = jnp.matmul(xw, proj, precision=prec)
+            return acc + jnp.sum(arg * 0.01), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), x)
+        return acc
+
+    def vpu_only(x, proj):
+        def body(acc, xb):
+            xw = patches(xb).reshape(chunk * nw, wd)
+            arg = jnp.matmul(xw, proj,
+                             precision=jax.lax.Precision.DEFAULT)
+            c, s = _poly_sincos(arg)
+            cs = jnp.sum(c.reshape(chunk, nw, f), axis=1)
+            ss = jnp.sum(s.reshape(chunk, nw, f), axis=1)
+            return acc + jnp.sum(cs * 0.01) + jnp.sum(ss * 0.01), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), x)
+        return acc
+
+    def measured(x, slen, params):
+        def body(acc, batch):
+            xb, lb = batch
+            c, s = parts_fn(params, xb, lb)
+            return acc + jnp.sum(c * 0.01) + jnp.sum(s * 0.01), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                              (x, slen))
+        return acc
+
+    def timed(fn, args):
+        jfn = jax.jit(fn, device=device)
+        np.asarray(jfn(*args))
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(jfn(*args))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)) / n_chunks
+
+    t_mxu = timed(mxu_only, (x, proj))
+    t_vpu = timed(vpu_only, (x, proj))
+    t_meas = timed(measured, (x, slen, params))
+    bound = max(t_mxu, t_vpu)
+    return {"measured_chunk_ms": 1e3 * t_meas,
+            "mxu_chunk_ms": 1e3 * t_mxu,
+            "vpu_sincos_chunk_ms": 1e3 * t_vpu,
+            "bound_chunk_ms": 1e3 * bound,
+            "fraction_of_bound": bound / t_meas,
+            "bound_kind": "mxu" if t_mxu >= t_vpu else "vpu"}
+
+
 def main():
     import jax
     # Persistent compilation cache: remote compiles in this environment
@@ -336,6 +428,10 @@ def main():
             out["roofline"] = _roofline(target)
         except Exception as e:
             out["roofline"] = {"error": str(e)[:200]}
+        try:
+            out["conv_roofline"] = _conv_roofline(target)
+        except Exception as e:
+            out["conv_roofline"] = {"error": str(e)[:200]}
     print(json.dumps(out))
 
 

@@ -28,8 +28,12 @@ y = np.sin(x[:, 0] * 2.0) + 0.5 * x[:, 1]
 out = {{}}
 for mode in ("xla", "pallas"):
     config.set_matvec_mode(mode)
-    data = build_regression_dataset(x, y, chunk_size=256)
-    model = GPRegression(num_rffs=256, kernel_choice="RBF",
+    # Deliberately awkward shapes: chunk rows not a tile multiple and a
+    # frequency count that is not a lane multiple (num_rffs=200 -> F=100,
+    # padded to 128 inside the kernel) -- the configurations that used to
+    # fall back to XLA silently.
+    data = build_regression_dataset(x, y, chunk_size=200)
+    model = GPRegression(num_rffs=200, kernel_choice="RBF",
                          verbose=False, random_seed=77)
     model.set_hyperparams(np.log(np.array([0.05, 1.0])), data)
     n_iter, _ = model.fit(data, mode="cg", tol=1e-6, max_iter=60,

@@ -143,6 +143,40 @@ def test_model_fit_routes_streaming_when_too_big(monkeypatch):
     assert np.allclose(p1, p2, rtol=1e-5, atol=1e-7)
 
 
+def test_streaming_from_disk_matches(tmp_path, setup):
+    """Disk-backed (OfflineDataset) chunks stream through the mesh and
+    produce the same reductions as an in-memory single-device engine --
+    the reference's out-of-core npy-file story
+    (offline_data_handling.py:73-108) on a mesh."""
+    single, _, _, kernel, _ = setup
+    (trx, tr_y), _ = tabular_data(n_train=1700)
+    xfiles, yfiles = [], []
+    for i in range(0, 1700, 340):
+        xf = tmp_path / f"x{i}.npy"
+        yf = tmp_path / f"y{i}.npy"
+        np.save(xf, trx[i:i + 340])
+        np.save(yf, tr_y[i:i + 340])
+        xfiles.append(str(xf))
+        yfiles.append(str(yf))
+    offline = build_regression_dataset(xfiles, yfiles, chunk_size=340)
+    online = build_regression_dataset(trx, tr_y, chunk_size=340)
+    mesh = data_mesh(8)
+    s_disk = StreamingShardedEngine(kernel, offline, mesh,
+                                    batches_per_step=2)
+    s_mem = Engine(kernel, online, mode="streaming")
+    rng = np.random.default_rng(4)
+    v = rng.standard_normal((kernel.get_num_rffs(), 2))
+    a = np.asarray(s_mem.ztzv(v))
+    b = np.asarray(s_disk.ztzv(v))
+    # Offline files re-chunk at chunk_size boundaries differently from
+    # the in-memory slices, so agreement is up to fp summation order.
+    assert np.allclose(a, b, rtol=1e-8, atol=1e-10)
+    z1, y1 = s_mem.zty()
+    z2, y2 = s_disk.zty()
+    assert np.allclose(np.asarray(z1), np.asarray(z2), rtol=1e-8)
+    assert abs(y1 - y2) < 1e-6 * abs(y1)
+
+
 def test_streaming_classification(setup):
     """Softmax loss/grad and line-search reductions stream too."""
     rng = np.random.default_rng(3)
