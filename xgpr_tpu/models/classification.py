@@ -4,9 +4,11 @@ Parity: /root/reference/src/xGPR/xgp_classification.py -- softmax predict,
 nonlinear CG fit with a Nystrom-preconditioner H0.
 """
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .baseclass import ModelBaseclass
+from .. import config as _cfg
 from ..fitting.softmax_solver import fit_softmax_ncg
 
 
@@ -23,15 +25,67 @@ class GPClassification(ModelBaseclass):
                          random_seed=random_seed)
         self.is_regression = False
 
+    def _scanned_predict_fn(self):
+        """Whole-input softmax predict as one device program (chunks
+        scanned inside jit; see GPRegression._scanned_predict_fn)."""
+        cached = getattr(self, "_scanned_predict", None)
+        if cached is not None and cached[0] == id(self.kernel):
+            return cached[1]
+        feature_fn = self.kernel.pure_feature_fn()
+
+        @jax.jit
+        def run(params, x, slen, weights, gamma):
+            mp = _cfg.matmul_precision()
+
+            def body(_, batch):
+                xb, lb = batch
+                z = feature_fn(params, xb, lb)
+                pred = jnp.matmul(z, weights, precision=mp) + \
+                    gamma[None, :]
+                pred = pred - jnp.max(pred, axis=1, keepdims=True)
+                pred = jnp.exp(pred)
+                return None, pred / jnp.sum(pred, axis=1, keepdims=True)
+            _, probs = jax.lax.scan(body, None, (x, slen))
+            return probs.reshape(-1, probs.shape[-1])
+        self._scanned_predict = (id(self.kernel), run)
+        return run
+
     def predict(self, input_x, sequence_lengths=None, chunk_size=2000):
         """Class-probability predictions (xgp_classification.py:59-109)."""
         self.pre_prediction_checks(input_x, sequence_lengths, False)
         input_x = self._bucket_sequence_axis(input_x)
         if self.gamma is None:
             raise RuntimeError("Model has not been fitted yet.")
-        preds = []
         weights = jnp.asarray(self.weights)
-        gamma = jnp.asarray(self.gamma)
+        gamma = jnp.asarray(self.gamma, weights.dtype)
+
+        n = input_x.shape[0]
+        n_elements = int(np.prod(input_x.shape))
+        if n > chunk_size and n_elements < 10 ** 8:
+            # One dispatch for the whole call (see GPRegression.predict).
+            run = self._scanned_predict_fn()
+            pad = (-n) % chunk_size
+            xp = np.asarray(input_x)
+            if pad:
+                xp = np.concatenate(
+                    [xp, np.zeros((pad,) + xp.shape[1:], xp.dtype)])
+            xc = self.kernel._cast_input(xp).reshape(
+                (-1, chunk_size) + xp.shape[1:])
+            if sequence_lengths is None:
+                slen = jnp.ones(xc.shape[:2], jnp.int32) * \
+                    (xp.shape[1] if xp.ndim == 3 else 1)
+            else:
+                sl = np.asarray(sequence_lengths, np.int32)
+                if pad:
+                    sl = np.concatenate(
+                        [sl, np.full((pad,), max(1, int(sl.max())),
+                                     np.int32)])
+                slen = jnp.asarray(sl.reshape(-1, chunk_size))
+            probs = run(self.kernel.feature_params(), xc, slen, weights,
+                        gamma)
+            return np.asarray(probs)[:n]
+
+        preds = []
         for i in range(0, input_x.shape[0], chunk_size):
             cut = min(i + chunk_size, input_x.shape[0])
             slen = None if sequence_lengths is None else \

@@ -37,6 +37,11 @@ class StreamingShardedEngine(ShardedEngine):
     or in-memory OnlineDataset) in deterministic chunk order, so results
     are exactly reproducible pass to pass and identical to the stacked
     engine's up to fp summation order.
+
+    Multi-host: each process streams its LOCAL dataset; every program
+    call is a collective, so all hosts must iterate the same number of
+    superbatch steps -- hold equal local padded-batch counts per host
+    (the same balanced-sharding requirement as the stacked engine).
     """
 
     def __init__(self, kernel, dataset, mesh=None, batches_per_step=4):
