@@ -168,6 +168,27 @@ def conv_mode() -> str:
 
 
 # ----------------------------------------------------------------------
+# Dense RBF feature-map implementation (see ops/pallas/sorf_pallas.py).
+# "auto" (default) fuses projection + sincos + block layout into one
+# Pallas kernel on TPU for supported shapes (measured 1.69x the XLA path
+# on the predict step); "xla" forces the unfused path; "pallas" forces
+# the kernel (interpret mode on CPU -- slow, for testing).  Read at
+# trace time.
+_FEATURE_MAP_MODE = "auto"
+
+
+def set_feature_map_mode(mode: str):
+    global _FEATURE_MAP_MODE
+    if mode not in ("auto", "xla", "pallas"):
+        raise ValueError("feature map mode must be auto, xla or pallas")
+    _FEATURE_MAP_MODE = mode
+
+
+def feature_map_mode() -> str:
+    return _FEATURE_MAP_MODE
+
+
+# ----------------------------------------------------------------------
 # sin/cos evaluation in the feature maps (see ops/sincos.py).  "auto"
 # (default) uses the fast shared-reduction polynomial for float32 and the
 # exact builtin for float64; "exact"/"poly" force one path.  Read at

@@ -65,7 +65,33 @@ class SORFKernelBaseclass(KernelBaseclass):
             self._dense_proj_cache = {key: proj}
         return proj
 
+    def _pallas_feature_allowed(self):
+        """Static (Python-time) gate for the fused Pallas feature map."""
+        from .. import config as _cfg
+        if not self.use_dense_projection:
+            return False
+        mode = _cfg.feature_map_mode()
+        if mode == "xla":
+            return False
+        if mode == "auto" and _cfg.default_backend() == "cpu":
+            return False
+        return True
+
     def kernel_specific_transform(self, input_x, sequence_length=None):
+        if self._pallas_feature_allowed() and \
+                input_x.dtype == jnp.float32:
+            # Route one-shot transforms (KernelFGen, sampled sketches)
+            # through the fused feature map too; pure_feature_fn applies
+            # the intercept column, transform_x re-applies idempotently.
+            # Cache keyed on the pure fn identity so config-mode switches
+            # rebuild instead of reusing a stale program.
+            pure = self.pure_feature_fn()
+            cached = getattr(self, "_jit_transform", None)
+            if cached is None or cached[0] is not pure:
+                cached = (pure, jax.jit(pure))
+                self._jit_transform = cached
+            return cached[1](self.feature_params(), input_x,
+                             sequence_length)
         sigma = jnp.asarray(self.hyperparams[1], dtype=input_x.dtype)
         if self.use_dense_projection:
             return _rbf_transform_dense(input_x * sigma,
@@ -88,27 +114,52 @@ class SORFKernelBaseclass(KernelBaseclass):
         return params
 
     def pure_feature_fn(self):
-        fn = getattr(self, "_pure_fn", None)
-        if fn is None:
-            intercept = self.fit_intercept
-            padded = self.padded_dims
-            if self.use_dense_projection:
-                def fn(params, x, seq_len=None):
-                    feats = rbf_feature_map_dense(x * params["sigma"],
-                                                  params["proj"],
+        pallas_ok = self._pallas_feature_allowed()
+        cached = getattr(self, "_pure_fn", None)
+        if cached is not None and cached[0] == pallas_ok:
+            return cached[1]
+        intercept = self.fit_intercept
+        padded = self.padded_dims
+        num_freqs = self.num_freqs
+        if self.use_dense_projection:
+            def fn(params, x, seq_len=None):
+                xs = x * params["sigma"]
+                feats = None
+                if pallas_ok:
+                    from ..ops.pallas.sorf_pallas import (
+                        pallas_feature_shapes_ok, rbf_feature_map_pallas,
+                        pad_operands, _round_up)
+                    from .. import config as _cfg
+                    dp = _round_up(x.shape[-1], 128)
+                    if x.ndim == 2 and num_freqs % 64 == 0 and \
+                            pallas_feature_shapes_ok(
+                                x.shape[0], dp, num_freqs, padded,
+                                x.dtype):
+                        interp = _cfg.default_backend() == "cpu"
+                        xp, pp = pad_operands(xs, params["proj"])
+                        feats = rbf_feature_map_pallas(
+                            xp, pp, intercept, padded, interpret=interp)
+                    else:
+                        from ..utils.fallback import note_fallback
+                        note_fallback(
+                            "rbf feature map",
+                            f"rows={x.shape[0]} d={x.shape[-1]} "
+                            f"F={num_freqs} dtype={x.dtype}")
+                if feats is None:
+                    feats = rbf_feature_map_dense(xs, params["proj"],
                                                   intercept, padded)
-                    if intercept:
-                        feats = feats.at[:, 0].set(1.0)
-                    return feats
-            else:
-                def fn(params, x, seq_len=None):
-                    feats = rbf_feature_map(x * params["sigma"],
-                                            params["radem"],
-                                            params["chi"], intercept)
-                    if intercept:
-                        feats = feats.at[:, 0].set(1.0)
-                    return feats
-            self._pure_fn = fn
+                if intercept:
+                    feats = feats.at[:, 0].set(1.0)
+                return feats
+        else:
+            def fn(params, x, seq_len=None):
+                feats = rbf_feature_map(x * params["sigma"],
+                                        params["radem"],
+                                        params["chi"], intercept)
+                if intercept:
+                    feats = feats.at[:, 0].set(1.0)
+                return feats
+        self._pure_fn = (pallas_ok, fn)
         return fn
 
     def kernel_specific_gradient(self, input_x, sequence_length=None):

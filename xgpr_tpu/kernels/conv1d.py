@@ -106,11 +106,15 @@ class ConvKernelBaseclass(KernelBaseclass):
             # transforms (KernelFGen, sampled sketches) use the fused
             # Pallas window loop too.  pure_feature_fn applies the
             # intercept column; transform_x re-applies it, idempotently.
-            fn = getattr(self, "_jit_transform", None)
-            if fn is None:
-                fn = jax.jit(self.pure_feature_fn())
-                self._jit_transform = fn
-            return fn(self.feature_params(), input_x, sequence_length)
+            # Cache keyed on the pure fn identity so config-mode switches
+            # rebuild instead of reusing a stale program.
+            pure = self.pure_feature_fn()
+            cached = getattr(self, "_jit_transform", None)
+            if cached is None or cached[0] is not pure:
+                cached = (pure, jax.jit(pure))
+                self._jit_transform = cached
+            return cached[1](self.feature_params(), input_x,
+                             sequence_length)
         sigma = jnp.asarray(self.hyperparams[1], dtype=input_x.dtype)
         proj = self._dense_proj(input_x.dtype) \
             if self.use_dense_projection else None
