@@ -50,6 +50,30 @@ class GPClassification(ModelBaseclass):
         self._scanned_predict = (id(self.kernel), run)
         return run
 
+    def export_predict_fn(self):
+        """Export a PURE jittable softmax-probability function + state
+        pytree for serving (see GPRegression.export_predict_fn)."""
+        if self.kernel is None or self.weights is None or \
+                self.gamma is None:
+            raise RuntimeError("Model has not been fitted yet.")
+        feature_fn = self.kernel.pure_feature_fn()
+        w = jnp.asarray(self.weights)
+        state = {
+            "params": self.kernel.feature_params(),
+            "weights": w,
+            "gamma": jnp.asarray(self.gamma, w.dtype),
+        }
+
+        def fn(state, x, seq_len=None):
+            mp = _cfg.matmul_precision()
+            z = feature_fn(state["params"], x, seq_len)
+            pred = jnp.matmul(z, state["weights"], precision=mp) + \
+                state["gamma"][None, :]
+            pred = pred - jnp.max(pred, axis=1, keepdims=True)
+            pred = jnp.exp(pred)
+            return pred / jnp.sum(pred, axis=1, keepdims=True)
+        return fn, state
+
     def predict(self, input_x, sequence_lengths=None, chunk_size=2000):
         """Class-probability predictions (xgp_classification.py:59-109)."""
         self.pre_prediction_checks(input_x, sequence_lengths, False)

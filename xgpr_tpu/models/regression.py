@@ -130,6 +130,53 @@ class GPRegression(ModelBaseclass):
         self._scanned_predict = (id(self.kernel), run)
         return run
 
+    def export_predict_fn(self, get_var=False):
+        """Export a PURE jittable predict function + state pytree for
+        serving (TPU-native addition; no reference analogue).
+
+        Returns (fn, state) where fn(state, x, seq_len_or_None) -> mean
+        (or (mean, variance)) with y-denormalisation folded in.  fn is a
+        closed-over pure function of arrays only: jit/vmap/shard it, ship
+        it through jax AOT export, or stack it into a serving graph
+        without the model object.
+        """
+        if self.kernel is None or self.weights is None:
+            raise RuntimeError("Model has not yet been successfully fitted.")
+        if get_var and (self.var is None or not self.exact_var_calculation):
+            raise RuntimeError(
+                "Variance export requires a fitted model with the exact "
+                "variance calculation (not the Linear-kernel Nystrom "
+                "path).")
+        feature_fn = self.kernel.pure_feature_fn()
+        dtype = jnp.asarray(self.weights).dtype
+        state = {
+            "params": self.kernel.feature_params(),
+            "weights": jnp.asarray(self.weights),
+            "y_mean": jnp.asarray(self.trainy_mean, dtype),
+            "y_std": jnp.asarray(self.trainy_std, dtype),
+        }
+        if get_var:
+            state["var_mat"] = jnp.asarray(self.var, dtype)
+            state["var_idx"] = jnp.asarray(
+                self.kernel.variance_column_indices(self.variance_rffs))
+            state["lam2"] = jnp.asarray(
+                self.kernel.get_lambda() ** 2, dtype)
+
+        def fn(state, x, seq_len=None):
+            mp = _cfg.matmul_precision()
+            z = feature_fn(state["params"], x, seq_len)
+            mean = jnp.matmul(z, state["weights"], precision=mp) * \
+                state["y_std"] + state["y_mean"]
+            if not get_var:
+                return mean
+            zv = jnp.take(z, state["var_idx"], axis=1)
+            pv = jnp.matmul(state["var_mat"], zv.T, precision=mp).T
+            pred_var = state["lam2"] + state["lam2"] * \
+                jnp.sum(zv * pv, axis=1)
+            pred_var = jnp.clip(pred_var, min=0.0) * state["y_std"] ** 2
+            return mean, pred_var
+        return fn, state
+
     def predict(self, input_x, sequence_lengths=None, get_var=False,
                 chunk_size=2000):
         """Posterior mean (and optionally variance) for new datapoints
