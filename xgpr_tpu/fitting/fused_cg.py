@@ -354,12 +354,13 @@ def fused_cg_solve_msharded(engine, rhs, lam, precond=None, max_iter=200,
                                             tiled=True)
 
             def precond_fn(v_shard):
+                # With the no-preconditioner zero U sentinel this reduces
+                # to the identity exactly: v - U(U^T v) + ... = v.
                 xp = jax.lax.psum(_mm(u_mat_s.T, v_shard), DATA_AXIS)
                 return (v_shard - _mm(u_mat_s, xp)) + \
                     _mm(u_mat_s, inv_eig[:, None] * prefactor * xp)
 
-            pfn = precond_fn if u_mat_s.shape[-1] > 1 else (lambda v: v)
-            return _cg_while(matvec, pfn, rhs_s, lam, mi, tol,
+            return _cg_while(matvec, precond_fn, rhs_s, lam, mi, tol,
                              col_sum=col_sum)
 
         data_specs = (P(DATA_AXIS),) * 3
