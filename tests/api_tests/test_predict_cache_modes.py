@@ -1,0 +1,60 @@
+"""Config-mode switches must rebuild cached predict programs, and the
+fused feature map's runtime argument guard must keep accuracy at extreme
+sigma (the failure modes found in review).
+"""
+import sys
+import os
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from xgpr_tpu import GPRegression, build_regression_dataset, config as xcfg
+from utils.synthetic import tabular_data
+
+
+def test_mode_switch_rebuilds_predict_programs():
+    (trx, tr_y), _ = tabular_data(n_train=400)
+    data = build_regression_dataset(trx, tr_y, chunk_size=200)
+    model = GPRegression(num_rffs=256, kernel_choice="RBF", verbose=False)
+    model.set_hyperparams(np.array([-1.79, -3.95]), data)
+    model.fit(data, mode="exact")
+    try:
+        xcfg.set_feature_map_mode("xla")
+        f_xla = model._scanned_predict_fn()
+        p_xla = model._predict_step_fn()
+        xcfg.set_feature_map_mode("pallas")
+        f_pl = model._scanned_predict_fn()
+        p_pl = model._predict_step_fn()
+    finally:
+        xcfg.set_feature_map_mode("auto")
+    assert f_xla is not f_pl
+    assert p_xla is not p_pl
+
+
+def test_fused_feature_map_arg_guard():
+    """With the fused path forced, a sigma large enough to push the
+    projection outside the polynomial's validity range must fall back to
+    the exact evaluation at runtime -- features stay accurate."""
+    from xgpr_tpu.kernels import KERNEL_NAME_TO_CLASS
+    rng = np.random.default_rng(0)
+    n, d = 64, 84
+    x32 = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    kernel = KERNEL_NAME_TO_CLASS["RBF"]((n, d), 256, 123)
+    # sigma = e^7: args ~ 1e4-1e5, beyond the Cody-Waite range.
+    kernel.set_hyperparams(np.array([0.0, 7.0]))
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.float32) if a.dtype.kind == "f" else a,
+        kernel.feature_params())
+    try:
+        xcfg.set_feature_map_mode("pallas")
+        z_pl = np.asarray(kernel.pure_feature_fn()(params, x32, None))
+        xcfg.set_feature_map_mode("xla")
+        z_xla = np.asarray(kernel.pure_feature_fn()(params, x32, None))
+    finally:
+        xcfg.set_feature_map_mode("auto")
+    # Both paths must agree: the guard routed the fused path to the same
+    # exact evaluation the XLA path's sincos guard selects.
+    assert np.abs(z_pl - z_xla).max() < 1e-5

@@ -129,6 +129,7 @@ class SORFKernelBaseclass(KernelBaseclass):
                     from ..ops.pallas.sorf_pallas import (
                         pallas_feature_shapes_ok, rbf_feature_map_pallas,
                         pad_operands, _round_up)
+                    from ..ops.sincos import _POLY_ARG_LIMIT
                     from .. import config as _cfg
                     dp = _round_up(x.shape[-1], 128)
                     if x.ndim == 2 and num_freqs % 64 == 0 and \
@@ -137,8 +138,30 @@ class SORFKernelBaseclass(KernelBaseclass):
                                 x.dtype):
                         interp = _cfg.default_backend() == "cpu"
                         xp, pp = pad_operands(xs, params["proj"])
-                        feats = rbf_feature_map_pallas(
-                            xp, pp, intercept, padded, interpret=interp)
+
+                        # The kernel's polynomial sincos is exact only
+                        # inside the Cody-Waite range; guard at runtime
+                        # with a cheap conservative bound
+                        # max|arg| <= max_row ||x|| * max_col ||proj||
+                        # and fall back to the (guarded) XLA path when a
+                        # large sigma / un-standardised data could
+                        # exceed it -- same contract as ops/sincos.py.
+                        row_n = jnp.sqrt(jnp.max(jnp.sum(xp * xp,
+                                                         axis=1)))
+                        col_n = jnp.sqrt(jnp.max(jnp.sum(pp * pp,
+                                                         axis=0)))
+                        in_range = row_n * col_n < jnp.asarray(
+                            _POLY_ARG_LIMIT, xp.dtype)
+
+                        feats = jax.lax.cond(
+                            in_range,
+                            lambda a, p: rbf_feature_map_pallas(
+                                a, p, intercept, padded,
+                                interpret=interp),
+                            lambda a, p: rbf_feature_map_dense(
+                                a[:, :x.shape[-1]], p[:x.shape[-1]],
+                                intercept, padded),
+                            xp, pp)
                     else:
                         from ..utils.fallback import note_fallback
                         note_fallback(

@@ -97,6 +97,55 @@ class ModelBaseclass:
                        dtype=input_x.dtype)
         return np.concatenate([np.asarray(input_x), pad], axis=1)
 
+    def _pad_and_chunk(self, input_x, sequence_lengths, chunk_size):
+        """Pad rows to a chunk multiple and reshape to (B, chunk, ...)
+        device arrays for the single-dispatch scanned predict paths.
+        Padded rows produce garbage predictions that callers slice off;
+        padded sequence lengths reuse the max real length so conv
+        scaling stays finite.  Returns (x_chunks, slen_chunks, n)."""
+        import numpy as np
+        import jax.numpy as jnp
+        n = input_x.shape[0]
+        pad = (-n) % chunk_size
+        xp = np.asarray(input_x)
+        if pad:
+            xp = np.concatenate(
+                [xp, np.zeros((pad,) + xp.shape[1:], xp.dtype)])
+        xc = self.kernel._cast_input(xp).reshape(
+            (-1, chunk_size) + xp.shape[1:])
+        if sequence_lengths is None:
+            slen = jnp.ones(xc.shape[:2], jnp.int32) * \
+                (xp.shape[1] if xp.ndim == 3 else 1)
+        else:
+            sl = np.asarray(sequence_lengths, np.int32)
+            if pad:
+                sl = np.concatenate(
+                    [sl, np.full((pad,), max(1, int(sl.max())),
+                                 np.int32)])
+            slen = jnp.asarray(sl.reshape(-1, chunk_size))
+        return xc, slen, n
+
+    @staticmethod
+    def _resolve_accelerator(value):
+        """Pick the accelerator device for a 'cuda'/'gpu'/'tpu' request,
+        warning when the visible platform differs from the request."""
+        import jax
+        accel = [d for d in jax.devices() if d.platform != "cpu"]
+        if not accel:
+            raise RuntimeError(
+                "You have specified an accelerator device but no "
+                "accelerator is visible to JAX. Currently CPU-only "
+                "fitting is available.")
+        dev = accel[0]
+        requested = "gpu" if value == "cuda" else value
+        if dev.platform != requested:
+            import warnings
+            warnings.warn(
+                f"Requested device '{value}' but the visible "
+                f"accelerator is '{dev.platform}'; running on "
+                f"{dev.platform}.", UserWarning)
+        return dev
+
     def pre_prediction_checks(self, input_x, sequence_lengths, get_var):
         if self.kernel is None or self.weights is None:
             raise RuntimeError("Model has not yet been successfully fitted.")
@@ -416,20 +465,7 @@ class ModelBaseclass:
         if value == "cpu":
             dev = jax.devices("cpu")[0]
         else:
-            accel = [d for d in jax.devices() if d.platform != "cpu"]
-            if not accel:
-                raise RuntimeError(
-                    "You have specified an accelerator device but no "
-                    "accelerator is visible to JAX. Currently CPU-only "
-                    "fitting is available.")
-            dev = accel[0]
-            requested = "gpu" if value == "cuda" else value
-            if dev.platform != requested:
-                import warnings
-                warnings.warn(
-                    f"Requested device '{value}' but the visible "
-                    f"accelerator is '{dev.platform}'; running on "
-                    f"{dev.platform}.", UserWarning)
+            dev = self._resolve_accelerator(value)
         jax.config.update("jax_default_device", dev)
         # Engines hold device-resident stacked data; rebuild on the new
         # target.  weights/var migrate automatically at next dispatch.

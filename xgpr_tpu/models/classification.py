@@ -28,10 +28,10 @@ class GPClassification(ModelBaseclass):
     def _scanned_predict_fn(self):
         """Whole-input softmax predict as one device program (chunks
         scanned inside jit; see GPRegression._scanned_predict_fn)."""
-        cached = getattr(self, "_scanned_predict", None)
-        if cached is not None and cached[0] == id(self.kernel):
-            return cached[1]
         feature_fn = self.kernel.pure_feature_fn()
+        cached = getattr(self, "_scanned_predict", None)
+        if cached is not None and cached[0] is feature_fn:
+            return cached[1]
 
         @jax.jit
         def run(params, x, slen, weights, gamma):
@@ -47,7 +47,7 @@ class GPClassification(ModelBaseclass):
                 return None, pred / jnp.sum(pred, axis=1, keepdims=True)
             _, probs = jax.lax.scan(body, None, (x, slen))
             return probs.reshape(-1, probs.shape[-1])
-        self._scanned_predict = (id(self.kernel), run)
+        self._scanned_predict = (feature_fn, run)
         return run
 
     def export_predict_fn(self):
@@ -88,23 +88,8 @@ class GPClassification(ModelBaseclass):
         if n > chunk_size and n_elements < 10 ** 8:
             # One dispatch for the whole call (see GPRegression.predict).
             run = self._scanned_predict_fn()
-            pad = (-n) % chunk_size
-            xp = np.asarray(input_x)
-            if pad:
-                xp = np.concatenate(
-                    [xp, np.zeros((pad,) + xp.shape[1:], xp.dtype)])
-            xc = self.kernel._cast_input(xp).reshape(
-                (-1, chunk_size) + xp.shape[1:])
-            if sequence_lengths is None:
-                slen = jnp.ones(xc.shape[:2], jnp.int32) * \
-                    (xp.shape[1] if xp.ndim == 3 else 1)
-            else:
-                sl = np.asarray(sequence_lengths, np.int32)
-                if pad:
-                    sl = np.concatenate(
-                        [sl, np.full((pad,), max(1, int(sl.max())),
-                                     np.int32)])
-                slen = jnp.asarray(sl.reshape(-1, chunk_size))
+            xc, slen, n = self._pad_and_chunk(input_x, sequence_lengths,
+                                              chunk_size)
             probs = run(self.kernel.feature_params(), xc, slen, weights,
                         gamma)
             return np.asarray(probs)[:n]
@@ -115,7 +100,9 @@ class GPClassification(ModelBaseclass):
             slen = None if sequence_lengths is None else \
                 sequence_lengths[i:cut]
             xfeatures = self.kernel.transform_x(input_x[i:cut, ...], slen)
-            pred = xfeatures @ weights + gamma[None, :]
+            pred = jnp.matmul(xfeatures, weights,
+                              precision=_cfg.matmul_precision()) + \
+                gamma[None, :]
             pred = pred - jnp.max(pred, axis=1, keepdims=True)
             pred = jnp.exp(pred)
             pred = pred / jnp.sum(pred, axis=1, keepdims=True)

@@ -40,12 +40,15 @@ class GPRegression(ModelBaseclass):
 
     # ------------------------------------------------------------------
     def _predict_step_fn(self):
-        """One fused jit program per chunk: features -> mean (-> variance)."""
-        cached = getattr(self, "_predict_step", None)
-        if cached is not None and cached[0] == id(self.kernel):
-            return cached[1]
+        """One fused jit program per chunk: features -> mean (-> variance).
+        Cache keyed on the pure fn identities so kernel rebuilds AND
+        config-mode switches (set_feature_map_mode etc.) rebuild the
+        program instead of reusing a stale one."""
         feature_fn = self.kernel.pure_feature_fn()
         parts_fn = self.kernel.pure_feature_parts_fn()
+        cached = getattr(self, "_predict_step", None)
+        if cached is not None and cached[0] == (feature_fn, parts_fn):
+            return cached[1]
         positions = self.kernel.feature_positions() if parts_fn else None
         if positions is not None:
             cos_pos = jnp.asarray(positions[0])
@@ -71,7 +74,7 @@ class GPRegression(ModelBaseclass):
                             precision=_cfg.matmul_precision()).T
             pred_var = lam2 + lam2 * jnp.sum(zv * pv, axis=1)
             return mean, pred_var
-        self._predict_step = (id(self.kernel), step)
+        self._predict_step = ((feature_fn, parts_fn), step)
         return step
 
     def _nystrom_predict_step_fn(self):
@@ -79,10 +82,10 @@ class GPRegression(ModelBaseclass):
         kernels): features -> mean and lam^2 (1 + z P^{-1} z^T) variance,
         with the preconditioner applied inside jit instead of a host
         dispatch per 2000-row chunk."""
-        cached = getattr(self, "_nystrom_predict_step", None)
-        if cached is not None and cached[0] == id(self.kernel):
-            return cached[1]
         feature_fn = self.kernel.pure_feature_fn()
+        cached = getattr(self, "_nystrom_predict_step", None)
+        if cached is not None and cached[0] is feature_fn:
+            return cached[1]
 
         @jax.jit
         def step(params, x, weights, u_mat, inv_eig, prefactor, lam2):
@@ -96,7 +99,7 @@ class GPRegression(ModelBaseclass):
                            precision=mp)
             pred_var = lam2 + lam2 * jnp.sum(z * pv.T, axis=1)
             return mean, pred_var
-        self._nystrom_predict_step = (id(self.kernel), step)
+        self._nystrom_predict_step = (feature_fn, step)
         return step
 
     def _scanned_predict_fn(self):
@@ -105,10 +108,10 @@ class GPRegression(ModelBaseclass):
         of N/chunk_size (dispatch latency dominates chunked predict on
         remote accelerators); compile count stays bounded because rows
         are padded to a chunk multiple."""
-        cached = getattr(self, "_scanned_predict", None)
-        if cached is not None and cached[0] == id(self.kernel):
-            return cached[1]
         feature_fn = self.kernel.pure_feature_fn()
+        cached = getattr(self, "_scanned_predict", None)
+        if cached is not None and cached[0] is feature_fn:
+            return cached[1]
 
         @partial(jax.jit, static_argnames=("get_var",))
         def run(params, x, slen, weights, var_mat, var_idx, lam2,
@@ -127,7 +130,7 @@ class GPRegression(ModelBaseclass):
                 return None, (mean, pred_var)
             _, (means, variances) = jax.lax.scan(body, None, (x, slen))
             return means.reshape(-1), variances.reshape(-1)
-        self._scanned_predict = (id(self.kernel), run)
+        self._scanned_predict = (feature_fn, run)
         return run
 
     def export_predict_fn(self, get_var=False):
@@ -210,23 +213,8 @@ class GPRegression(ModelBaseclass):
         n_elements = int(np.prod(input_x.shape))
         if use_fused and n > chunk_size and n_elements < 10 ** 8:
             run = self._scanned_predict_fn()
-            pad = (-n) % chunk_size
-            xp = np.asarray(input_x)
-            if pad:
-                xp = np.concatenate(
-                    [xp, np.zeros((pad,) + xp.shape[1:], xp.dtype)])
-            xc = self.kernel._cast_input(xp).reshape(
-                (-1, chunk_size) + xp.shape[1:])
-            if sequence_lengths is None:
-                slen = jnp.ones(xc.shape[:2], jnp.int32) * \
-                    (xp.shape[1] if xp.ndim == 3 else 1)
-            else:
-                sl = np.asarray(sequence_lengths, np.int32)
-                if pad:
-                    sl = np.concatenate(
-                        [sl, np.full((pad,), max(1, int(sl.max())),
-                                     np.int32)])
-                slen = jnp.asarray(sl.reshape(-1, chunk_size))
+            xc, slen, n = self._pad_and_chunk(input_x, sequence_lengths,
+                                              chunk_size)
             if use_fused and get_var:
                 vm, vi = var_mat, var_idx
             else:

@@ -42,19 +42,8 @@ class FastConv1d:
         if value == "cpu":
             dev = jax.devices("cpu")[0]
         else:
-            accel = [d for d in jax.devices() if d.platform != "cpu"]
-            if not accel:
-                raise RuntimeError(
-                    "You have specified an accelerator device but no "
-                    "accelerator is visible to JAX.")
-            dev = accel[0]
-            requested = "gpu" if value == "cuda" else value
-            if dev.platform != requested:
-                import warnings
-                warnings.warn(
-                    f"Requested device '{value}' but the visible "
-                    f"accelerator is '{dev.platform}'; running on "
-                    f"{dev.platform}.", UserWarning)
+            from .baseclass import ModelBaseclass
+            dev = ModelBaseclass._resolve_accelerator(value)
         jax.config.update("jax_default_device", dev)
         self._device = value
 
