@@ -177,6 +177,25 @@ def test_streaming_from_disk_matches(tmp_path, setup):
     assert abs(y1 - y2) < 1e-6 * abs(y1)
 
 
+def test_streaming_conv_kernel_matches(setup):
+    """Sequence (conv) kernels stream too: lengths ride the superbatches."""
+    from utils.synthetic import sequence_data
+    (trx, tr_y, trl), _ = sequence_data(n_train=320)
+    dset = build_regression_dataset(trx, tr_y, sequence_lengths=trl,
+                                    chunk_size=40)
+    model = GPRegression(num_rffs=128, kernel_choice="Conv1dRBF",
+                         kernel_settings={"conv_width": 9}, verbose=False)
+    model.set_hyperparams(np.array([-1.0, -1.5]), dset)
+    single = Engine(model.kernel, dset, mode="streaming")
+    streaming = StreamingShardedEngine(model.kernel, dset, data_mesh(8),
+                                       batches_per_step=2)
+    rng = np.random.default_rng(6)
+    v = rng.standard_normal((128, 2))
+    assert np.allclose(np.asarray(single.ztzv(v)),
+                       np.asarray(streaming.ztzv(v)),
+                       rtol=1e-9, atol=1e-9)
+
+
 def test_streaming_classification(setup):
     """Softmax loss/grad and line-search reductions stream too."""
     rng = np.random.default_rng(3)
