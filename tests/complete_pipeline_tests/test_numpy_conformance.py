@@ -124,3 +124,81 @@ def test_full_model_matches_numpy_pipeline(problem):
     model2.fit(data, mode="cg", tol=1e-10, max_rank=64, min_rank=32)
     assert np.allclose(np.asarray(model2.weights), weights_o,
                        rtol=1e-6, atol=1e-8)
+
+
+def _ridge_pipeline(z, zt, yn, lam, ymean, ystd):
+    m = z.shape[1]
+    weights = np.linalg.solve(z.T @ z + lam ** 2 * np.eye(m), z.T @ yn)
+    preds = (zt @ weights) * ystd + ymean
+    return weights, preds
+
+
+def test_conv_model_matches_numpy_pipeline():
+    """Conv1dRBF end-to-end: oracle k-mer conv features -> numpy ridge."""
+    from utils.oracle import oracle_conv_rbf_features
+    rng = np.random.default_rng(3)
+    n, l, d, width = 240, 14, 5, 4
+    x = rng.standard_normal((n, l, d))
+    sl = rng.integers(width, l + 1, n).astype(np.int32)
+    y = np.sin(x[:, 0, 0]) + x.mean(axis=(1, 2))
+    data = build_regression_dataset(x[:200], y[:200],
+                                    sequence_lengths=sl[:200],
+                                    chunk_size=50)
+    hp = np.array([-1.0, -1.2])
+    model = GPRegression(num_rffs=128, variance_rffs=16,
+                         kernel_choice="Conv1dRBF", verbose=False,
+                         kernel_settings={"conv_width": width},
+                         random_seed=SEED)
+    model.set_hyperparams(hp, data)
+    model.fit(data, mode="exact")
+
+    radem = np.asarray(model.kernel.radem_diag, np.float64)
+    chi = np.asarray(model.kernel.chi_arr, np.float64)
+    lam, sigma = np.exp(hp)
+    ymean, ystd = y[:200].mean(), y[:200].std()
+    z = oracle_conv_rbf_features(x[:200], sl[:200], radem, chi, sigma,
+                                 width)
+    zt = oracle_conv_rbf_features(x[200:], sl[200:], radem, chi, sigma,
+                                  width)
+    z[:, 0] = 1.0   # intercept column overwrite
+    zt[:, 0] = 1.0
+    yn = (y[:200] - ymean) / ystd
+    weights_o, preds_o = _ridge_pipeline(z, zt, yn, lam, ymean, ystd)
+    assert np.allclose(np.asarray(model.weights), weights_o,
+                       rtol=1e-7, atol=1e-9)
+    preds = model.predict(x[200:], sl[200:])
+    assert np.allclose(preds, preds_o, rtol=1e-7, atol=1e-9)
+
+
+def test_miniard_model_matches_numpy_pipeline():
+    """MiniARD end-to-end: per-group lengthscales are a column scaling of
+    the input before the plain RBF oracle map."""
+    rng = np.random.default_rng(4)
+    n, d = 400, 20
+    x = rng.standard_normal((n, d))
+    y = np.sin(2 * x[:, 0]) + x[:, 15]
+    data = build_regression_dataset(x[:320], y[:320], chunk_size=80)
+    hp = np.array([-1.3, -0.8, -1.6])  # lambda, sigma_1, sigma_2
+    model = GPRegression(num_rffs=128, variance_rffs=16,
+                         kernel_choice="MiniARD", verbose=False,
+                         kernel_settings={"split_points": [12]},
+                         random_seed=SEED)
+    model.set_hyperparams(hp, data)
+    model.fit(data, mode="exact")
+
+    radem = np.asarray(model.kernel.radem_diag, np.float64)
+    chi = np.asarray(model.kernel.chi_arr, np.float64)
+    lam = np.exp(hp[0])
+    w_cols = np.concatenate([np.full(12, np.exp(hp[1])),
+                             np.full(d - 12, np.exp(hp[2]))])
+    ymean, ystd = y[:320].mean(), y[:320].std()
+    z = oracle_rbf_features(x[:320] * w_cols[None, :], radem, chi, 1.0,
+                            model.kernel.fit_intercept)
+    zt = oracle_rbf_features(x[320:] * w_cols[None, :], radem, chi, 1.0,
+                             model.kernel.fit_intercept)
+    yn = (y[:320] - ymean) / ystd
+    weights_o, preds_o = _ridge_pipeline(z, zt, yn, lam, ymean, ystd)
+    assert np.allclose(np.asarray(model.weights), weights_o,
+                       rtol=1e-7, atol=1e-9)
+    preds = model.predict(x[320:])
+    assert np.allclose(preds, preds_o, rtol=1e-7, atol=1e-9)
