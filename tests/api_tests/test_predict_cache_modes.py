@@ -34,6 +34,48 @@ def test_mode_switch_rebuilds_predict_programs():
     assert p_xla is not p_pl
 
 
+def test_sincos_mode_switch_rebuilds_programs():
+    """set_sincos_mode must invalidate the pure-fn caches (config epoch)
+    so old compiled programs aren't silently reused."""
+    from xgpr_tpu.kernels import KERNEL_NAME_TO_CLASS
+    kernel = KERNEL_NAME_TO_CLASS["RBF"]((100, 16), 64, 123)
+    kernel.set_hyperparams(np.array([-1.0, -1.0]))
+    f1 = kernel.pure_feature_fn()
+    try:
+        xcfg.set_sincos_mode("exact")
+        f2 = kernel.pure_feature_fn()
+    finally:
+        xcfg.set_sincos_mode("auto")
+    f3 = kernel.pure_feature_fn()
+    assert f1 is not f2
+    assert f2 is not f3
+
+
+def test_conv_fused_parts_arg_guard():
+    """The conv fused parts path must also guard extreme sigma at
+    runtime: forced-pallas equals forced-xla features."""
+    from xgpr_tpu.kernels import KERNEL_NAME_TO_CLASS
+    rng = np.random.default_rng(2)
+    n, l, d, w = 16, 20, 8, 3
+    x32 = jnp.asarray(rng.standard_normal((n, l, d)).astype(np.float32))
+    slen = jnp.asarray(rng.integers(w, l + 1, n), jnp.int32)
+    kernel = KERNEL_NAME_TO_CLASS["Conv1dRBF"](
+        (n, l, d), 256, 123, kernel_spec_parms={"conv_width": w})
+    kernel.set_hyperparams(np.array([0.0, 7.0]))  # extreme sigma
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.float32) if a.dtype.kind == "f" else a,
+        kernel.feature_params())
+    try:
+        xcfg.set_conv_mode("pallas")
+        c_pl, s_pl = kernel.pure_feature_parts_fn()(params, x32, slen)
+        xcfg.set_conv_mode("xla")
+        c_x, s_x = kernel.pure_feature_parts_fn()(params, x32, slen)
+    finally:
+        xcfg.set_conv_mode("auto")
+    assert np.abs(np.asarray(c_pl) - np.asarray(c_x)).max() < 1e-5
+    assert np.abs(np.asarray(s_pl) - np.asarray(s_x)).max() < 1e-5
+
+
 def test_fused_feature_map_arg_guard():
     """With the fused path forced, a sigma large enough to push the
     projection outside the polynomial's validity range must fall back to

@@ -18,6 +18,25 @@ import jax
 import jax.numpy as jnp
 
 
+
+# ----------------------------------------------------------------------
+# Config epoch: bumped by every mode/precision setter.  Pure-fn caches on
+# kernel objects include the epoch in their keys, so ANY config switch
+# rebuilds traced programs instead of silently reusing ones compiled
+# under the old settings.  (Engines snapshot their feature fn at
+# construction; set modes before building models/engines.)
+_CONFIG_EPOCH = 0
+
+
+def _bump_epoch():
+    global _CONFIG_EPOCH
+    _CONFIG_EPOCH += 1
+
+
+def config_epoch() -> int:
+    return _CONFIG_EPOCH
+
+
 def x64_enabled() -> bool:
     """True when JAX is running with 64-bit types enabled."""
     return bool(jax.config.jax_enable_x64)
@@ -47,6 +66,7 @@ _MATMUL_PRECISION = "highest"
 
 
 def set_matmul_precision(p: str):
+    _bump_epoch()
     global _MATMUL_PRECISION
     if p not in ("highest", "high", "default"):
         raise ValueError("matmul precision must be highest/high/default")
@@ -69,6 +89,7 @@ _FEATURE_PRECISION = "high"
 
 
 def set_feature_precision(p: str):
+    _bump_epoch()
     global _FEATURE_PRECISION
     if p not in ("highest", "high", "default"):
         raise ValueError("feature precision must be highest/high/default")
@@ -91,6 +112,7 @@ _FEATURE_DTYPE = "float32"
 
 
 def set_feature_dtype(d: str):
+    _bump_epoch()
     global _FEATURE_DTYPE
     if d not in ("float32", "bfloat16"):
         raise ValueError("feature dtype must be float32 or bfloat16")
@@ -115,6 +137,7 @@ _FAST_FEATURES = False
 
 
 def set_fast_features(enabled: bool):
+    _bump_epoch()
     global _FAST_FEATURES
     _FAST_FEATURES = bool(enabled)
     if enabled:
@@ -137,6 +160,7 @@ _MATVEC_MODE = "auto"
 
 
 def set_matvec_mode(mode: str):
+    _bump_epoch()
     global _MATVEC_MODE
     if mode not in ("auto", "xla", "pallas"):
         raise ValueError("matvec mode must be auto, xla or pallas")
@@ -157,6 +181,7 @@ _CONV_MODE = "auto"
 
 
 def set_conv_mode(mode: str):
+    _bump_epoch()
     global _CONV_MODE
     if mode not in ("auto", "xla", "pallas"):
         raise ValueError("conv mode must be auto, xla or pallas")
@@ -178,6 +203,7 @@ _FEATURE_MAP_MODE = "auto"
 
 
 def set_feature_map_mode(mode: str):
+    _bump_epoch()
     global _FEATURE_MAP_MODE
     if mode not in ("auto", "xla", "pallas"):
         raise ValueError("feature map mode must be auto, xla or pallas")
@@ -197,6 +223,7 @@ _SINCOS_MODE = "auto"
 
 
 def set_sincos_mode(mode: str):
+    _bump_epoch()
     global _SINCOS_MODE
     if mode not in ("auto", "exact", "poly"):
         raise ValueError("sincos mode must be auto, exact or poly")
@@ -219,6 +246,7 @@ _M_SHARDING_THRESHOLD = 32768
 
 
 def set_m_sharding(mode: str, threshold: int = None):
+    _bump_epoch()
     global _M_SHARDING, _M_SHARDING_THRESHOLD
     if mode not in ("auto", "on", "off"):
         raise ValueError("m_sharding must be auto, on or off")
@@ -244,6 +272,7 @@ _ENGINE_MODE = "auto"
 
 
 def set_engine_mode(mode: str):
+    _bump_epoch()
     global _ENGINE_MODE
     if mode not in ("auto", "single", "sharded"):
         raise ValueError("engine mode must be auto, single or sharded")

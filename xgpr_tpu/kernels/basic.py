@@ -114,9 +114,11 @@ class SORFKernelBaseclass(KernelBaseclass):
         return params
 
     def pure_feature_fn(self):
+        from .. import config as _cfg
         pallas_ok = self._pallas_feature_allowed()
+        key = (pallas_ok, _cfg.config_epoch())
         cached = getattr(self, "_pure_fn", None)
-        if cached is not None and cached[0] == pallas_ok:
+        if cached is not None and cached[0] == key:
             return cached[1]
         intercept = self.fit_intercept
         padded = self.padded_dims
@@ -182,7 +184,7 @@ class SORFKernelBaseclass(KernelBaseclass):
                 if intercept:
                     feats = feats.at[:, 0].set(1.0)
                 return feats
-        self._pure_fn = (pallas_ok, fn)
+        self._pure_fn = (key, fn)
         return fn
 
     def kernel_specific_gradient(self, input_x, sequence_length=None):
@@ -196,10 +198,11 @@ class SORFKernelBaseclass(KernelBaseclass):
                          self.fit_intercept)
 
     def pure_gradient_fn(self):
-        fn = getattr(self, "_pure_grad_fn", None)
-        if fn is None:
-            intercept = self.fit_intercept
-            padded = self.padded_dims
+        from .. import config as _cfg
+        intercept = self.fit_intercept
+        padded = self.padded_dims
+
+        def build():
             if self.use_dense_projection:
                 def fn(params, x, seq_len=None):
                     z, dz = rbf_feature_map_dense_grad(
@@ -218,21 +221,22 @@ class SORFKernelBaseclass(KernelBaseclass):
                         z = z.at[:, 0].set(1.0)
                         dz = dz.at[:, 0, :].set(0.0)
                     return z, dz
-            self._pure_grad_fn = fn
-        return fn
+            return fn
+        return self._cached_fn("_pure_grad_fn", _cfg.config_epoch(),
+                               build)
 
     def pure_feature_parts_fn(self):
         if not self.use_dense_projection:
             return None
-        fn = getattr(self, "_parts_fn", None)
-        if fn is None:
-            intercept = self.fit_intercept
+        from .. import config as _cfg
+        intercept = self.fit_intercept
 
+        def build():
             def fn(params, x, seq_len=None):
                 return rbf_feature_parts_dense(x * params["sigma"],
                                                params["proj"], intercept)
-            self._parts_fn = fn
-        return fn
+            return fn
+        return self._cached_fn("_parts_fn", _cfg.config_epoch(), build)
 
     def pure_ztzv_parts_fn(self):
         """Fused whole-chunk matvec (ops/pallas/ztzv_pallas.py): computes
@@ -368,17 +372,16 @@ class Linear(KernelBaseclass):
         return {}
 
     def pure_feature_fn(self):
-        fn = getattr(self, "_pure_fn", None)
-        if fn is None:
-            intercept = self.fit_intercept
+        intercept = self.fit_intercept
 
+        def build():
             def fn(params, x, seq_len=None):
                 if intercept:
                     ones = jnp.ones((x.shape[0], 1), dtype=x.dtype)
                     return jnp.concatenate([ones, x], axis=1)
                 return x
-            self._pure_fn = fn
-        return fn
+            return fn
+        return self._cached_fn("_pure_fn", 0, build)
 
     def kernel_specific_gradient(self, input_x, sequence_length=None):
         xtrans = self.kernel_specific_transform(input_x)
@@ -388,7 +391,9 @@ class Linear(KernelBaseclass):
     def pure_gradient_fn(self):
         feat = self.pure_feature_fn()
 
-        def fn(params, x, seq_len=None):
-            z = feat(params, x, seq_len)
-            return z, jnp.zeros((z.shape[0], z.shape[1], 0), z.dtype)
-        return fn
+        def build():
+            def fn(params, x, seq_len=None):
+                z = feat(params, x, seq_len)
+                return z, jnp.zeros((z.shape[0], z.shape[1], 0), z.dtype)
+            return fn
+        return self._cached_fn("_pure_grad_fn", id(feat), build)

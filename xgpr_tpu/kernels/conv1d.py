@@ -146,13 +146,13 @@ class ConvKernelBaseclass(KernelBaseclass):
         return params
 
     def pure_gradient_fn(self):
-        fn = getattr(self, "_pure_grad_fn", None)
-        if fn is None:
-            intercept = self.fit_intercept
-            width = self.conv_width
-            scaling = self.scaling_type
-            use_dense = self.use_dense_projection
+        from .. import config as _cfg
+        intercept = self.fit_intercept
+        width = self.conv_width
+        scaling = self.scaling_type
+        use_dense = self.use_dense_projection
 
+        def build():
             def fn(params, x, seq_len):
                 z, dz = conv_rbf_features(
                     x, seq_len, params["radem"], params["chi"],
@@ -162,13 +162,16 @@ class ConvKernelBaseclass(KernelBaseclass):
                     z = z.at[:, 0].set(1.0)
                     dz = dz.at[:, 0, :].set(0.0)
                 return z, dz
-            self._pure_grad_fn = fn
-        return fn
+            return fn
+        return self._cached_fn("_pure_grad_fn", _cfg.config_epoch(),
+                               build)
 
     def pure_feature_fn(self):
+        from .. import config as _cfg
         pallas_ok = self._pallas_conv_allowed()
+        key = (pallas_ok, _cfg.config_epoch())
         cached = getattr(self, "_pure_fn", None)
-        if cached is not None and cached[0] == pallas_ok:
+        if cached is not None and cached[0] == key:
             return cached[1]
         intercept = self.fit_intercept
         width = self.conv_width
@@ -187,7 +190,7 @@ class ConvKernelBaseclass(KernelBaseclass):
                 from ..ops.layout import assemble_cos_sin
                 c, s = parts_fn(params, x, seq_len)
                 return assemble_cos_sin(c, s, padded)
-            self._pure_fn = (pallas_ok, fn)
+            self._pure_fn = (key, fn)
             return fn
 
         def fn(params, x, seq_len):
@@ -198,7 +201,7 @@ class ConvKernelBaseclass(KernelBaseclass):
             if intercept:
                 feats = feats.at[:, 0].set(1.0)
             return feats
-        self._pure_fn = (pallas_ok, fn)
+        self._pure_fn = (key, fn)
         return fn
 
     def _pallas_conv_allowed(self):
@@ -223,10 +226,18 @@ class ConvKernelBaseclass(KernelBaseclass):
         On TPU (config.set_conv_mode "auto"/"pallas") the masked window
         loop runs as one fused Pallas kernel
         (ops/pallas/conv_pallas.py); row averaging and the intercept are
-        applied here on the (N, F) parts."""
+        applied here on the (N, F) parts.  The kernel's polynomial sincos
+        is guarded at runtime: a conservative norm-product bound on
+        max|arg| switches the whole chunk to the (guarded) XLA path when
+        a large sigma / un-standardised data could exceed the Cody-Waite
+        range -- predict-time inputs are arbitrary, so the fused predict
+        path must never silently degrade (same contract as the dense
+        feature map, kernels/basic.py)."""
+        from .. import config as _cfg
         pallas_ok = self._pallas_conv_allowed()
+        key = (pallas_ok, _cfg.config_epoch())
         cached = getattr(self, "_parts_fn", None)
-        if cached is not None and cached[0] == pallas_ok:
+        if cached is not None and cached[0] == key:
             return cached[1]
         intercept = self.fit_intercept
         width = self.conv_width
@@ -234,10 +245,35 @@ class ConvKernelBaseclass(KernelBaseclass):
         use_dense = self.use_dense_projection
         num_freqs = self.num_freqs
 
+        def xla_parts(x, seq_len, params):
+            return conv_rbf_features(
+                x, seq_len, params["radem"], params["chi"],
+                params["sigma"], width, scaling,
+                proj=params.get("proj") if use_dense else None,
+                parts=True)
+
+        def pallas_parts(x, seq_len, params):
+            from ..ops.pallas.conv_pallas import conv_parts_pallas
+            from .. import config as _icfg
+            interp = _icfg.default_backend() == "cpu"
+            c, s = conv_parts_pallas(
+                x, seq_len, params["proj"], params["sigma"],
+                width, num_freqs, interpret=interp)
+            from ..ops.sorf import rbf_norm_constant
+            from ..ops.conv import (_num_kmers, SCALING_SQRT,
+                                    SCALING_FULL)
+            base = rbf_norm_constant(num_freqs, fit_intercept=False)
+            nk = _num_kmers(seq_len, width)
+            if scaling == SCALING_SQRT:
+                row_scale = base / jnp.sqrt(nk.astype(c.dtype))
+            elif scaling == SCALING_FULL:
+                row_scale = base / nk.astype(c.dtype)
+            else:
+                row_scale = jnp.full((x.shape[0],), base, c.dtype)
+            return c * row_scale[:, None], s * row_scale[:, None]
+
         def fn(params, x, seq_len):
-            from ..ops.pallas.conv_pallas import (conv_parts_shapes_ok,
-                                                  conv_parts_pallas)
-            from .. import config as _cfg
+            from ..ops.pallas.conv_pallas import conv_parts_shapes_ok
             nw = x.shape[1] - width + 1
             supported = pallas_ok and x.ndim == 3 and \
                 conv_parts_shapes_ok(nw, width * x.shape[2], num_freqs,
@@ -249,34 +285,23 @@ class ConvKernelBaseclass(KernelBaseclass):
                     f"windows={nw} w*d={width * x.shape[-1]} "
                     f"F={num_freqs} dtype={x.dtype}")
             if supported:
-                interp = _cfg.default_backend() == "cpu"
-                c, s = conv_parts_pallas(
-                    x, seq_len, params["proj"], params["sigma"],
-                    width, num_freqs, interpret=interp)
-                from ..ops.sorf import rbf_norm_constant
-                from ..ops.conv import (_num_kmers, SCALING_SQRT,
-                                        SCALING_FULL)
-                base = rbf_norm_constant(num_freqs,
-                                         fit_intercept=False)
-                nk = _num_kmers(seq_len, width)
-                if scaling == SCALING_SQRT:
-                    row_scale = base / jnp.sqrt(nk.astype(c.dtype))
-                elif scaling == SCALING_FULL:
-                    row_scale = base / nk.astype(c.dtype)
-                else:
-                    row_scale = jnp.full((x.shape[0],), base, c.dtype)
-                c = c * row_scale[:, None]
-                s = s * row_scale[:, None]
+                from ..ops.sincos import _POLY_ARG_LIMIT
+                # max|arg| <= sigma * max_row ||x_row||_F * max_col
+                # ||proj_col|| (a window is a sub-slice of its row).
+                row_n = jnp.sqrt(jnp.max(jnp.sum(
+                    x.astype(jnp.float32) ** 2, axis=(1, 2))))
+                pr = params["proj"]
+                col_n = jnp.sqrt(jnp.max(jnp.sum(pr * pr, axis=0)))
+                in_range = params["sigma"] * row_n * col_n < \
+                    jnp.asarray(_POLY_ARG_LIMIT, jnp.float32)
+                c, s = jax.lax.cond(in_range, pallas_parts, xla_parts,
+                                    x, seq_len, params)
             else:
-                c, s = conv_rbf_features(
-                    x, seq_len, params["radem"], params["chi"],
-                    params["sigma"], width, scaling,
-                    proj=params.get("proj") if use_dense else None,
-                    parts=True)
+                c, s = xla_parts(x, seq_len, params)
             if intercept:
                 c = c.at[:, 0].set(1.0)
             return c, s
-        self._parts_fn = (pallas_ok, fn)
+        self._parts_fn = (key, fn)
         return fn
 
 

@@ -167,6 +167,19 @@ class KernelBaseclass(ABC):
         has no fused path."""
         return None
 
+    def _cached_fn(self, attr, key, builder):
+        """Per-kernel traced-fn cache.  `key` must include everything the
+        trace depends on beyond the kernel's own state -- callers pass
+        config.config_epoch() (bumped by every config setter) plus any
+        static gates -- so config switches rebuild fn identities and
+        every downstream jit cache keyed on them."""
+        cached = getattr(self, attr, None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        fn = builder()
+        setattr(self, attr, (key, fn))
+        return fn
+
     def gradient_params(self):
         """Pytree of arrays consumed by pure_gradient_fn.  Defaults to
         feature_params; kernels that need extra gradient-only state

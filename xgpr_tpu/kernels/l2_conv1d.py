@@ -153,12 +153,12 @@ class Conv1dTwoLayer(KernelBaseclass):
         return params
 
     def pure_gradient_fn(self):
-        fn = getattr(self, "_pure_grad_fn", None)
-        if fn is None:
-            intercept = self.fit_intercept
-            width = self.conv_width
-            use_dense = self.use_dense_projection
+        from .. import config as _cfg
+        intercept = self.fit_intercept
+        width = self.conv_width
+        use_dense = self.use_dense_projection
 
+        def build():
             def fn(params, x, seq_len):
                 prof = conv_maxpool_features(
                     x, seq_len, params["radem1"], params["chi1"], width,
@@ -170,17 +170,18 @@ class Conv1dTwoLayer(KernelBaseclass):
                     z = z.at[:, 0].set(1.0)
                     dz = dz.at[:, 0, :].set(0.0)
                 return z, dz
-            self._pure_grad_fn = fn
-        return fn
+            return fn
+        return self._cached_fn("_pure_grad_fn", _cfg.config_epoch(),
+                               build)
 
     def pure_feature_fn(self):
-        fn = getattr(self, "_pure_fn", None)
-        if fn is None:
-            intercept = self.fit_intercept
-            width = self.conv_width
-            padded2 = self._feature_padded
-            use_dense = self.use_dense_projection
+        from .. import config as _cfg
+        intercept = self.fit_intercept
+        width = self.conv_width
+        padded2 = self._feature_padded
+        use_dense = self.use_dense_projection
 
+        def build():
             def fn(params, x, seq_len):
                 prof = conv_maxpool_features(
                     x, seq_len, params["radem1"], params["chi1"], width,
@@ -196,8 +197,8 @@ class Conv1dTwoLayer(KernelBaseclass):
                 if intercept:
                     feats = feats.at[:, 0].set(1.0)
                 return feats
-            self._pure_fn = fn
-        return fn
+            return fn
+        return self._cached_fn("_pure_fn", _cfg.config_epoch(), build)
 
 
 class FHTMaxpoolConv1dFeatureExtractor:

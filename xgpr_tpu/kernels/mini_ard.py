@@ -120,10 +120,11 @@ class MiniARD(KernelBaseclass):
         return params
 
     def pure_feature_fn(self):
-        fn = getattr(self, "_pure_fn", None)
-        if fn is None:
-            intercept = self.fit_intercept
-            padded = self.padded_dims
+        from .. import config as _cfg
+        intercept = self.fit_intercept
+        padded = self.padded_dims
+
+        def build():
             if self.use_dense_projection:
                 def fn(params, x, seq_len=None):
                     feats = rbf_feature_map_dense(
@@ -140,8 +141,8 @@ class MiniARD(KernelBaseclass):
                     if intercept:
                         feats = feats.at[:, 0].set(1.0)
                     return feats
-            self._pure_fn = fn
-        return fn
+            return fn
+        return self._cached_fn("_pure_fn", _cfg.config_epoch(), build)
 
     def _ensure_precomputed(self, dtype):
         if self.precomputed_weights is None:
@@ -159,12 +160,12 @@ class MiniARD(KernelBaseclass):
         return params
 
     def pure_gradient_fn(self):
-        fn = getattr(self, "_pure_grad_fn", None)
-        if fn is None:
-            intercept = self.fit_intercept
-            starts = tuple(s for s, _ in self._group_slices)
-            ends = tuple(e for _, e in self._group_slices)
+        from .. import config as _cfg
+        intercept = self.fit_intercept
+        starts = tuple(s for s, _ in self._group_slices)
+        ends = tuple(e for _, e in self._group_slices)
 
+        def build():
             def fn(params, x, seq_len=None):
                 z, dz = mini_ard_grad(x, params["grad_weights"], starts,
                                       ends, params["sigmas"], intercept)
@@ -172,8 +173,9 @@ class MiniARD(KernelBaseclass):
                     z = z.at[:, 0].set(1.0)
                     dz = dz.at[:, 0, :].set(0.0)
                 return z, dz
-            self._pure_grad_fn = fn
-        return fn
+            return fn
+        return self._cached_fn("_pure_grad_fn", _cfg.config_epoch(),
+                               build)
 
     def kernel_specific_gradient(self, input_x, sequence_length=None):
         self._ensure_precomputed(input_x.dtype)

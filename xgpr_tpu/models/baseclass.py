@@ -103,7 +103,6 @@ class ModelBaseclass:
         Padded rows produce garbage predictions that callers slice off;
         padded sequence lengths reuse the max real length so conv
         scaling stays finite.  Returns (x_chunks, slen_chunks, n)."""
-        import numpy as np
         import jax.numpy as jnp
         n = input_x.shape[0]
         pad = (-n) % chunk_size

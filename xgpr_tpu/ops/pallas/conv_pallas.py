@@ -88,6 +88,14 @@ def conv_parts_shapes_ok(num_windows, wd, num_freqs, dtype) -> bool:
 
 def _conv_parts_kernel(sig_ref, xw_ref, m_ref, proj_ref, oc_ref, os_ref,
                        *, precision):
+    # sincos mode is read at trace time; the conv parts fn's cache is
+    # epoch-keyed so a set_sincos_mode switch retraces this kernel.
+    from ..sincos import sincos_mode
+    if sincos_mode() == "exact":
+        def _poly_sincos(a):  # noqa: F811 -- local override
+            return jnp.cos(a), jnp.sin(a)
+    else:
+        from ..sincos import _poly_sincos
     dot = _make_dot(precision)
     cdims = (((1,), (0,)), ((), ()))
     rd, bw, p = xw_ref.shape

@@ -93,6 +93,14 @@ def _make_dot(precision):
 
 def _ztzv_kernel(sig_ref, x_ref, m_ref, proj_ref, vc_ref, vs_ref,
                  oc_ref, os_ref, *, scale, intercept, precision):
+    # sincos mode is read at trace time ("exact" forces the builtin);
+    # callers' caches are config-epoch-keyed so mode switches retrace.
+    from ..sincos import sincos_mode
+    if sincos_mode() == "exact":
+        def _poly_sincos(a):  # noqa: F811 -- local override
+            return jnp.cos(a), jnp.sin(a)
+    else:
+        from ..sincos import _poly_sincos
     dot = _make_dot(precision)
     cdims = (((1,), (0,)), ((), ()))     # rows x cols contraction
     tdims = (((0,), (0,)), ((), ()))     # contract over the row axis

@@ -20,15 +20,16 @@ standardised data -- O(1)..O(100) in practice.  ``sincos`` guards this at
 runtime: in "auto" mode a scalar max-|arg| check switches the whole array
 to the exact builtin when any element exceeds the reduction's validity
 range (a large sigma on un-standardised data), so accuracy never silently
-degrades.  Explicit "poly" mode skips the guard.  The fused dense feature
-map guards the same way at its dispatch site (a conservative
-norm-product bound + lax.cond, kernels/basic.py).  The fused ztzv/conv
-matvec kernels use the unguarded polynomial: their arguments are
-sigma-scaled projections of the TRAINING data the hyperparameters were
-tuned on, and beyond |arg| ~ 2^13 an fp32 argument's own quantisation
-already destroys the phase (ULP > 0.05 rad), so no evaluation scheme is
-meaningful there -- the fused solvers stay deterministic and finite
-either way.
+degrades.  Explicit "poly" mode skips the guard.  The fused feature maps
+guard the same way at their dispatch sites (a conservative norm-product
+bound + lax.cond around the Pallas call: dense in kernels/basic.py, conv
+parts in kernels/conv1d.py) -- predict-time inputs are arbitrary.  Only
+the fused ztzv matvec kernel (training-only: its arguments are
+projections of the training data the hyperparameters were tuned on)
+keeps the unguarded polynomial; beyond |arg| ~ 2^13 an fp32 argument's
+own quantisation already destroys the phase (ULP > 0.05 rad), so no
+evaluation scheme is meaningful there and the solver stays deterministic
+and finite either way.
 
 Mode selection: float64 inputs (CPU test runs reproducing the reference's
 fp64 contract) always use the exact builtin; float32 uses the polynomial
