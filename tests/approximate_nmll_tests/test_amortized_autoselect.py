@@ -104,7 +104,7 @@ def test_cache_hit_grows_until_ratio_met(data, monkeypatch):
     model.set_hyperparams(HPARAMS_A, data)
     # Seed the cache with a small rank as if an earlier easy iterate
     # selected it.
-    ds_token = (id(data), data.get_ndatapoints(), tuple(data.get_xdim()))
+    ds_token = model._dataset_token(data)
     model._engine(data)  # initialize engine
     model._nmll_rank_cache = (ds_token, 128)
 

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import config
+from ..utils import rng as state_rng
 
 # Stacked mode is used when the raw data fits comfortably on device.
 # 1e9 fp32 elements = 4 GB raw data -- comfortable on a 16 GB chip with
@@ -340,10 +341,11 @@ class Engine:
         rng = np.random.default_rng(seed)
         for xb, yb, lb, mb in self._batches(with_y=with_zty):
             if row_keep_prob is not None:
-                # Subsample rows by masking (keeps shapes static).
-                keep = rng.random(mb.shape[0]) < row_keep_prob
-                if not keep.any():
-                    keep[rng.integers(0, mb.shape[0])] = True
+                # Subsample an exact count of real rows by masking
+                # (shapes stay static; count matches the reference's
+                # per-chunk cutoff, rand_nys_constructors.py:82-84).
+                keep = state_rng.exact_count_keep_mask(
+                    mb, row_keep_prob, rng)
                 mb = mb * jnp.asarray(keep, dtype=mb.dtype)
             if with_zty:
                 a, b, c = run(params, xb, lb, mb, yb, radem, idx)

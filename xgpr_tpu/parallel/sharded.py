@@ -351,13 +351,20 @@ class ShardedEngine:
         return run(self._params(), self._x, self._l, self._m, self._y)
 
     def _subsampled_mask_stack(self, row_keep_prob, seed):
-        """Row-subsampled copy of the global mask stack (kept-row Bernoulli
-        mask, shapes static -- rand_nys_constructors.py:60-93)."""
+        """Row-subsampled copy of the global mask stack.  An exact count
+        of real rows is kept per stacked chunk, matching the reference's
+        per-chunk cutoff (rand_nys_constructors.py:82-84), so the
+        realised sample fraction equals the nominal one; shapes stay
+        static."""
         if row_keep_prob is None or row_keep_prob >= 1.0:
             return self._m
+        from ..utils import rng as state_rng
         rng = np.random.default_rng(seed)
-        keep = (rng.random(tuple(self._m.shape)) <
-                row_keep_prob).astype(np.float64)
+        m_host = np.asarray(self._m)
+        keep = np.stack([
+            state_rng.exact_count_keep_mask(row, row_keep_prob, rng)
+            for row in m_host.reshape(m_host.shape[0], -1)
+        ]).reshape(m_host.shape)
         return self._m * jax.device_put(
             jnp.asarray(keep, self._m.dtype),
             NamedSharding(self.mesh, P(DATA_AXIS)))

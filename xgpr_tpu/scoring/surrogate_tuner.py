@@ -91,6 +91,56 @@ def _thompson_round(xpts, yvals, mask, cands, draws):
     return cands[winner], sample[winner]
 
 
+_GOLDEN = 0.5 * (3.0 - np.sqrt(5.0))
+
+
+def _coordinate_refine(unit_history, score_history, span, score_fn,
+                       n_done_fn, budget, tol):
+    """Golden-section descent along each sigma coordinate, bracketed by
+    the incumbent's nearest already-scored neighbours (other coordinates
+    held at the incumbent).  Runs until the bracket is tighter than
+    ``tol`` in log-hyperparameter units or the budget is spent; every
+    evaluation lands in the shared history, so later argmins see it."""
+    n_dims = unit_history.shape[1]
+
+    def evaluate(u_vec):
+        score_fn(u_vec)
+        return float(score_history[n_done_fn() - 1])
+
+    for dim in range(n_dims):
+        if n_done_fn() + 2 > budget:
+            return
+        best = int(np.argmin(score_history[:n_done_fn()]))
+        u_best = unit_history[best].copy()
+        coords = np.unique(unit_history[:n_done_fn(), dim])
+        center = u_best[dim]
+        left = coords[coords < center - 1e-9]
+        right = coords[coords > center + 1e-9]
+        a = float(left.max()) if left.size else max(0.0, center - 0.25)
+        b = float(right.min()) if right.size else min(1.0, center + 0.25)
+        unit_tol = tol / max(float(span[dim]), 1e-12)
+        if b - a <= unit_tol:
+            continue
+
+        def at(x):
+            u = u_best.copy()
+            u[dim] = x
+            return evaluate(u)
+
+        x1 = a + _GOLDEN * (b - a)
+        x2 = b - _GOLDEN * (b - a)
+        f1, f2 = at(x1), at(x2)
+        while n_done_fn() < budget and (b - a) > unit_tol:
+            if f1 < f2:
+                b, x2, f2 = x2, x1, f1
+                x1 = a + _GOLDEN * (b - a)
+                f1 = at(x1)
+            else:
+                a, x1, f1 = x1, x2, f2
+                x2 = b - _GOLDEN * (b - a)
+                f2 = at(x2)
+
+
 def surrogate_grid_tuning(kernel, engine_factory, bounds, random_seed,
                           max_iter, verbose, tol=1e-1, n_pts_per_dim=100,
                           n_cycles=1, n_init_pts=10, subsample=1.0):
@@ -136,13 +186,17 @@ def surrogate_grid_tuning(kernel, engine_factory, bounds, random_seed,
     while n_done < budget:
         # Degenerate evaluations return DEFAULT_SCORE_IF_PROBLEM (1e40);
         # feed the surrogate the worst REAL score instead so one sentinel
-        # cannot flatten the GP's normalisation of everything else.
+        # (or a -inf from a broken evaluation) cannot flatten the GP's
+        # normalisation of everything else.
         from ..constants import DEFAULT_SCORE_IF_PROBLEM
         hist = score_history[:n_done]
-        real = hist[hist < 0.1 * DEFAULT_SCORE_IF_PROBLEM]
+        real_sel = np.isfinite(hist) & (hist < 0.1 * DEFAULT_SCORE_IF_PROBLEM)
+        real = hist[real_sel]
         worst = float(real.max()) if real.size else 0.0
-        capped = np.where(score_history < 0.1 * DEFAULT_SCORE_IF_PROBLEM,
-                          score_history, worst)
+        capped = np.where(
+            np.isfinite(score_history) &
+            (score_history < 0.1 * DEFAULT_SCORE_IF_PROBLEM),
+            score_history, worst)
 
         cands = _lattice(_N_CANDIDATES, n_dims, random_seed + 7919,
                          offset=n_done * _N_CANDIDATES)
@@ -157,12 +211,22 @@ def surrogate_grid_tuning(kernel, engine_factory, bounds, random_seed,
         gap = np.min(np.linalg.norm(
             (unit_history[:n_done] - proposal[None, :]) * span[None, :],
             axis=1))
+        # Score the converging proposal too before stopping -- the final
+        # proposal is usually an exploit step into the incumbent basin.
+        score_unit_point(proposal)
         if gap < tol:
             if verbose:
-                print(f"Converged: proposal within {tol} of a scored "
-                      "point.", flush=True)
+                print(f"Surrogate collapsed: proposal within {tol} of a "
+                      "scored point.", flush=True)
             break
-        score_unit_point(proposal)
+
+    # Exploitation phase: the Thompson loop locates the right basin but
+    # its lattice rarely lands on the basin floor.  Spend any remaining
+    # budget on a per-coordinate golden-section descent bracketed by the
+    # incumbent's nearest scored neighbours.
+    _coordinate_refine(unit_history, score_history, span,
+                       lambda u: score_unit_point(u),
+                       lambda: n_done, budget, tol)
 
     best = int(np.argmin(score_history[:n_done]))
     best_hparams = np.concatenate(

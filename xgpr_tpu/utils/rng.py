@@ -78,3 +78,24 @@ def rademacher_probes(seed: int, num_rffs: int, nsamples: int,
                         size=(num_rffs, nsamples), replace=True)
     probes /= np.linalg.norm(probes, axis=0)[None, :]
     return probes.astype(dtype)
+
+
+def exact_count_keep_mask(mask, keep_frac: float, rng) -> np.ndarray:
+    """0/1 keep mask selecting an exact per-chunk count of real rows.
+
+    The reference's sampled ratio check draws ``max(int(frac * rows), 1)``
+    rows per chunk without replacement (rand_nys_constructors.py:82-84),
+    so the realised sample fraction equals the nominal one and the
+    ``/ sample_frac`` rescale of the estimated eigenvalues is unbiased.
+    A Bernoulli(p) mask makes the realised fraction itself random, which
+    directly perturbs the estimate.  ``mask`` marks real (non-padding)
+    rows of a fixed-shape chunk; only those are sampled from.
+    """
+    real = np.flatnonzero(np.asarray(mask) > 0)
+    if real.size == 0:
+        return np.zeros(np.asarray(mask).shape[0], dtype=np.float64)
+    cutoff = max(int(keep_frac * real.size), 1)
+    sel = rng.permutation(real.size)[:cutoff]
+    keep = np.zeros(np.asarray(mask).shape[0], dtype=np.float64)
+    keep[real[sel]] = 1.0
+    return keep
