@@ -11,42 +11,45 @@ from .dataset import OnlineDataset, OfflineDataset
 
 
 def build_regression_dataset(xdata, ydata, sequence_lengths=None,
-                             chunk_size=2000, normalize_y=True):
+                             chunk_size=2000, normalize_y=True,
+                             skip_safety_checks=False):
     """Build an in-memory or file-backed regression dataset."""
     if isinstance(xdata, list) and isinstance(ydata, list):
         return build_offline_np_dataset(xdata, ydata, sequence_lengths,
                                         chunk_size, normalize_y,
-                                        task_type="regression")
+                                        task_type="regression",
+                                        skip_safety_checks=skip_safety_checks)
     if isinstance(xdata, np.ndarray) and isinstance(ydata, np.ndarray):
         return _build_online_dataset(xdata, ydata, sequence_lengths,
                                      chunk_size, normalize_y,
                                      task_type="regression")
-    raise RuntimeError("Unexpected argument types to "
-                       "build_regression_dataset.")
+    raise RuntimeError("Pass either in-memory numpy arrays or lists of "
+                       ".npy file paths for x and y.")
 
 
 def build_classification_dataset(xdata, ydata, sequence_lengths=None,
-                                 chunk_size=2000):
+                                 chunk_size=2000, skip_safety_checks=False):
     """Build an in-memory or file-backed classification dataset."""
     if isinstance(xdata, list) and isinstance(ydata, list):
         return build_offline_np_dataset(xdata, ydata, sequence_lengths,
                                         chunk_size, normalize_y=False,
-                                        task_type="classification")
+                                        task_type="classification",
+                                        skip_safety_checks=skip_safety_checks)
     if isinstance(xdata, np.ndarray) and isinstance(ydata, np.ndarray):
         return _build_online_dataset(xdata, ydata, sequence_lengths,
                                      chunk_size, normalize_y=False,
                                      task_type="classification")
-    raise RuntimeError("Unexpected argument types to "
-                       "build_classification_dataset.")
+    raise RuntimeError("Pass either in-memory numpy arrays or lists of "
+                       ".npy file paths for x and y.")
 
 
 def _check_basic_array(xdata, ydata):
     if not isinstance(xdata, np.ndarray) or not isinstance(ydata, np.ndarray):
-        raise RuntimeError("X and y must be numpy arrays.")
+        raise RuntimeError("In-memory datasets take numpy arrays for both x and y.")
     if xdata.ndim not in (2, 3):
         raise RuntimeError("X must be a 2d or 3d numpy array.")
     if ydata.ndim != 1:
-        raise RuntimeError("Y must be a 1d numpy array.")
+        raise RuntimeError("y must be one-dimensional.")
     if xdata.shape[0] != ydata.shape[0]:
         raise RuntimeError("X and y must have the same number of "
                            "datapoints.")
@@ -145,11 +148,44 @@ def _streaming_y_stats(yfiles):
     return mean, float(np.sqrt(var))
 
 
+def _validate_offline_file_contents(xf, lfile, dim1):
+    """Load one offline x file (and its sequence-length file, if any) and
+    reject non-finite or extreme values before they can reach a solver
+    (parity: dataset_builder.py:264-307)."""
+    x_data = np.load(xf)
+    if x_data.shape[0] == 0:
+        raise RuntimeError(f"{xf} contains zero datapoints.")
+    if np.isnan(x_data).any():
+        raise RuntimeError(f"{xf} contains NaN entries.")
+    if np.max(x_data) > 1e15 or np.min(x_data) < -1e15:
+        raise RuntimeError(
+            f"{xf} contains magnitudes beyond 1e15 (inf or unscaled "
+            "data); rescale before building a dataset.")
+    if lfile is not None:
+        lengths = np.load(lfile)
+        if not np.issubdtype(lengths.dtype, np.integer):
+            raise RuntimeError(f"{lfile} must hold integer lengths.")
+        if lengths.min() <= 0 or lengths.max() > dim1:
+            raise RuntimeError(
+                f"{lfile} has lengths outside (0, {dim1}] for its "
+                "x file.")
+
+
 def build_offline_np_dataset(xfiles, yfiles, sequence_lengths=None,
                              chunk_size=2000, normalize_y=True,
-                             task_type="regression"):
+                             task_type="regression",
+                             skip_safety_checks=False):
     """Validated constructor for file-backed datasets
-    (dataset_builder.py:192-333)."""
+    (dataset_builder.py:192-333).
+
+    Sequence files (3d) may differ in their sequence axis (``shape[1]``)
+    file-to-file, so ragged corpora need no global zero-padding on disk
+    (parity: dataset_builder.py:282-291, HISTORY v0.1.2.2); batches are
+    padded transiently to the longest file at stream time.  Unless
+    ``skip_safety_checks`` is set, each x file's CONTENTS are also
+    validated (NaN / >1e15 / empty, dataset_builder.py:264-275) -- one
+    extra read of the corpus at build time.
+    """
     if not isinstance(xfiles, list) or not isinstance(yfiles, list):
         raise RuntimeError("xfiles and yfiles must be lists of filepaths.")
     if len(xfiles) != len(yfiles) or len(xfiles) == 0:
@@ -167,12 +203,16 @@ def build_offline_np_dataset(xfiles, yfiles, sequence_lengths=None,
     if sequence_lengths is not None and ndim == 2:
         raise RuntimeError("sequence_lengths must be None for 2d input.")
 
-    ndatapoints = 0
+    ndatapoints, max_dim1 = 0, xshape0[1]
     for i, (xf, yf) in enumerate(zip(xfiles, yfiles)):
         xshape = npy_file_shape(xf)
         yshape = npy_file_shape(yf)
-        if len(xshape) != ndim or xshape[1:] != xshape0[1:]:
+        # 2d files must agree exactly; 3d files may vary in the sequence
+        # axis (shape[1]) but must share the channel dims.
+        if len(xshape) != ndim or xshape[2:] != xshape0[2:] or \
+                (ndim == 2 and xshape[1] != xshape0[1]):
             raise RuntimeError(f"File {xf} has inconsistent shape.")
+        max_dim1 = max(max_dim1, xshape[1])
         if len(yshape) != 1 or yshape[0] != xshape[0]:
             raise RuntimeError(f"Files {xf}, {yf} have mismatched "
                                "datapoint counts.")
@@ -180,15 +220,22 @@ def build_offline_np_dataset(xfiles, yfiles, sequence_lengths=None,
             raise RuntimeError(
                 f"File {xf} has more datapoints than chunk_size; re-chunk "
                 "your files or increase chunk_size.")
+        lfile = None
         if sequence_lengths is not None:
-            lshape = npy_file_shape(sequence_lengths[i])
+            lfile = sequence_lengths[i]
+            lshape = npy_file_shape(lfile)
             if len(lshape) != 1 or lshape[0] != xshape[0]:
                 raise RuntimeError(
-                    f"Sequence-length file {sequence_lengths[i]} does not "
+                    f"Sequence-length file {lfile} does not "
                     "match its x file.")
+        if not skip_safety_checks:
+            _validate_offline_file_contents(xf, lfile, xshape[1])
         ndatapoints += xshape[0]
 
-    xdim = (ndatapoints,) + tuple(xshape0[1:])
+    # xdim[1] is the LONGEST sequence axis across files; shorter files
+    # are padded transiently when batches are streamed.
+    xdim = (ndatapoints, max_dim1) + tuple(xshape0[2:]) if ndim == 3 \
+        else (ndatapoints,) + tuple(xshape0[1:])
 
     if task_type == "classification":
         max_class, min_class = 0, 1

@@ -12,9 +12,14 @@ scaling stays finite; their features are zeroed via the mask before any
 reduction.
 """
 import abc
+import itertools
 from abc import ABC
 
 import numpy as np
+
+# Monotonic per-process dataset ids: unlike id(), never reused after GC,
+# so caches keyed on a dataset stay dead once the dataset is gone.
+_DATASET_UIDS = itertools.count()
 
 
 class DatasetBaseclass(ABC):
@@ -27,6 +32,11 @@ class DatasetBaseclass(ABC):
         self._trainy_mean = float(trainy_mean)
         self._trainy_std = float(trainy_std)
         self._max_class = max_class
+        self._uid = next(_DATASET_UIDS)
+
+    def get_uid(self):
+        """Process-unique, never-recycled identity for caching."""
+        return self._uid
 
     @abc.abstractmethod
     def get_chunked_data(self):
@@ -69,20 +79,27 @@ class DatasetBaseclass(ABC):
         """Yield fixed-shape (x, y|None, seq_len|None, mask) numpy batches.
 
         Every batch has exactly chunk_size rows; trailing rows of the final
-        batch are zero-filled and flagged by mask == 0.
+        batch are zero-filled and flagged by mask == 0.  Sequence chunks
+        whose dim1 is shorter than the dataset-wide maximum (ragged
+        offline corpora) are zero-padded along the sequence axis too --
+        the extra windows fall beyond every row's sequence_length, so
+        masked conv features are unchanged.
         """
         cs = self._chunk_size
         src = self.get_chunked_data() if with_y else (
             (x, None, l) for x, l in self.get_chunked_x_data())
         for xchunk, ychunk, lchunk in src:
             n = xchunk.shape[0]
-            if n == cs:
+            dim1_pad = self._xdim[1] - xchunk.shape[1] \
+                if xchunk.ndim == 3 else 0
+            if n == cs and dim1_pad == 0:
                 mask = np.ones((cs,), dtype=np.float64)
                 yield xchunk, ychunk, lchunk, mask
                 continue
-            pad = cs - n
-            xp = np.zeros((cs,) + xchunk.shape[1:], dtype=xchunk.dtype)
-            xp[:n] = xchunk
+            xp = np.zeros((cs, self._xdim[1]) + xchunk.shape[2:],
+                          dtype=xchunk.dtype) if xchunk.ndim == 3 else \
+                np.zeros((cs,) + xchunk.shape[1:], dtype=xchunk.dtype)
+            xp[:n, :xchunk.shape[1]] = xchunk
             mask = np.zeros((cs,), dtype=np.float64)
             mask[:n] = 1.0
             yp = None
@@ -149,6 +166,12 @@ class OfflineDataset(DatasetBaseclass):
         try:
             from ..native import NativeNpyStream, native_available
             if native_available():
+                if len(self._xdim) == 3:
+                    # dim1 may vary file-to-file (ragged corpora): let the
+                    # loader recover it per chunk from the fixed channel
+                    # width instead of assuming one trailing shape.
+                    return NativeNpyStream(self._xfiles,
+                                           inner_dim=self._xdim[2])
                 return NativeNpyStream(self._xfiles,
                                        trailing_shape=self._xdim[1:])
         except Exception:

@@ -70,7 +70,12 @@ class NativeNpyStream:
     trailing_shape to restore them.
     """
 
-    def __init__(self, paths, trailing_shape=None, depth=2):
+    def __init__(self, paths, trailing_shape=None, depth=2,
+                 inner_dim=None):
+        """``trailing_shape`` restores a FIXED per-row shape.  For 3d
+        corpora whose sequence axis varies file-to-file, pass
+        ``inner_dim`` (the fixed channel width) instead: each chunk is
+        reshaped to (rows, cols // inner_dim, inner_dim)."""
         lib = _get_lib()
         if lib is None:
             raise RuntimeError("Native IO library unavailable.")
@@ -80,6 +85,7 @@ class NativeNpyStream:
         self._handle = lib.xgpr_stream_open(arr, len(self._paths),
                                             depth)
         self._trailing = trailing_shape
+        self._inner_dim = inner_dim
         self._closed = False
 
     def __iter__(self):
@@ -108,7 +114,10 @@ class NativeNpyStream:
             buf.value)
         out = np.frombuffer(bytes(src), dtype=dtype).reshape(
             rows.value, cols.value)
-        if self._trailing is not None:
+        if self._inner_dim is not None:
+            out = out.reshape(rows.value, cols.value // self._inner_dim,
+                              self._inner_dim)
+        elif self._trailing is not None:
             out = out.reshape((rows.value,) + tuple(self._trailing))
         elif cols.value == 1:
             out = out.reshape(rows.value)
