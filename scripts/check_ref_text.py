@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Guard against literal text shared with the reference implementation.
+
+The reference (/root/reference, jlparkI/xGPR) is under a restrictive
+licence: this build must not carry its literal text.  This script
+extracts every string literal (including docstrings) from the build's
+Python sources, normalises whitespace, and fails if any literal of
+MIN_WORDS or more words appears verbatim anywhere in the reference's
+source tree.  Run from the repo root:
+
+    python scripts/check_ref_text.py
+
+Exit code 0 = clean, 1 = shared text found.
+"""
+import ast
+import os
+import re
+import sys
+
+REPO_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "xgpr_tpu")
+REFERENCE = "/root/reference"
+MIN_WORDS = 10
+
+
+def _normalize(text):
+    return re.sub(r"\s+", " ", text).strip().lower()
+
+
+def _reference_corpus():
+    chunks = []
+    for root, _, files in os.walk(REFERENCE):
+        for fname in files:
+            if fname.endswith((".py", ".cpp", ".cu", ".h", ".rst", ".md",
+                               ".txt", ".toml")):
+                path = os.path.join(root, fname)
+                try:
+                    with open(path, encoding="utf-8",
+                              errors="replace") as fh:
+                        chunks.append(fh.read())
+                except OSError:
+                    continue
+    return _normalize("\n".join(chunks))
+
+
+def _repo_literals():
+    for root, _, files in os.walk(REPO_SRC):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            with open(path, encoding="utf-8") as fh:
+                source = fh.read()
+            try:
+                tree = ast.parse(source)
+            except SyntaxError:
+                continue
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Constant) and \
+                        isinstance(node.value, str):
+                    yield path, node.lineno, node.value
+
+
+def main():
+    if not os.path.isdir(REFERENCE):
+        print("reference tree not present; nothing to check")
+        return 0
+    corpus = _reference_corpus()
+    failures = []
+    for path, lineno, literal in _repo_literals():
+        norm = _normalize(literal)
+        if len(norm.split()) < MIN_WORDS:
+            continue
+        # Check the literal and each of its sentences, so a long
+        # docstring that embeds one copied sentence still trips.
+        pieces = [norm] + [s.strip() for s in
+                           re.split(r"[.!?]", norm) if s.strip()]
+        for piece in pieces:
+            if len(piece.split()) >= MIN_WORDS and piece in corpus:
+                failures.append((path, lineno, piece[:100]))
+                break
+    if failures:
+        print(f"{len(failures)} literal(s) shared with the reference:")
+        for path, lineno, piece in failures:
+            print(f"  {path}:{lineno}: {piece!r}...")
+        return 1
+    print("clean: no string literal of "
+          f">={MIN_WORDS} words is shared with the reference")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -100,3 +100,47 @@ def test_fused_feature_map_arg_guard():
     # Both paths must agree: the guard routed the fused path to the same
     # exact evaluation the XLA path's sincos guard selects.
     assert np.abs(z_pl - z_xla).max() < 1e-5
+
+
+def test_poly_range_hint_traces_single_branch():
+    """poly_range_ok must pass benign standardised data and reject
+    extreme sigma; the hinted pure fn (single-branch trace) must produce
+    the same features as the guarded one for in-range inputs."""
+    from xgpr_tpu.kernels import KERNEL_NAME_TO_CLASS
+    rng = np.random.default_rng(1)
+    n, d = 64, 84
+    x32 = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    kernel = KERNEL_NAME_TO_CLASS["RBF"]((n, d), 256, 123)
+    kernel.set_hyperparams(np.array([0.0, -1.0]))
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.float32) if a.dtype.kind == "f" else a,
+        kernel.feature_params())
+    try:
+        xcfg.set_feature_map_mode("pallas")
+        assert kernel.poly_range_ok(np.asarray(x32))
+        z_guard = np.asarray(kernel.pure_feature_fn()(params, x32, None))
+        hinted = kernel.pure_feature_fn(assume_in_range=True)
+        assert hinted is not kernel.pure_feature_fn()
+        z_hint = np.asarray(hinted(params, x32, None))
+        # Extreme sigma must fail the host-side range check.
+        kernel.set_hyperparams(np.array([0.0, 7.0]))
+        assert not kernel.poly_range_ok(np.asarray(x32))
+    finally:
+        xcfg.set_feature_map_mode("auto")
+    np.testing.assert_allclose(z_hint, z_guard, rtol=1e-6, atol=1e-6)
+
+
+def test_predict_uses_hinted_program_for_benign_input():
+    (trx, tr_y), (tex, _) = tabular_data(n_train=400)
+    data = build_regression_dataset(trx, tr_y, chunk_size=200)
+    model = GPRegression(num_rffs=256, kernel_choice="RBF", verbose=False)
+    model.set_hyperparams(np.array([-1.79, -1.0]), data)
+    model.fit(data, mode="exact", suppress_var=True)
+    try:
+        xcfg.set_feature_map_mode("pallas")
+        p_hint = model.predict(tex)
+        xcfg.set_feature_map_mode("xla")
+        p_xla = model.predict(tex)
+    finally:
+        xcfg.set_feature_map_mode("auto")
+    np.testing.assert_allclose(p_hint, p_xla, rtol=1e-4, atol=1e-5)

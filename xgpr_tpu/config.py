@@ -257,6 +257,16 @@ def set_m_sharding(mode: str, threshold: int = None):
 
 def use_m_sharding(num_rffs: int, n_dev: int) -> bool:
     if _M_SHARDING == "off" or n_dev <= 1 or num_rffs % n_dev != 0:
+        if _M_SHARDING == "on":
+            # The user forced M-sharding (usually to dodge replicated
+            # state OOM) but the run cannot honor it; falling back
+            # silently would hide the memory cliff they tried to avoid.
+            import warnings
+            reason = "only one device is visible" if n_dev <= 1 else \
+                f"num_rffs={num_rffs} is not divisible by {n_dev} devices"
+            warnings.warn(
+                f"M-sharding was forced on but {reason}; running the "
+                "replicated solver instead.", UserWarning)
         return False
     if _M_SHARDING == "on":
         return True

@@ -158,8 +158,9 @@ def cg_fit(engine, preconditioner=None, tol=1e-6, max_iter=500,
                                             max_iter, tol, verbose)
     weights = x_k[:, 0] * ndatapoints
     if not converged:
-        warnings.warn("Conjugate gradients failed to converge! Try "
-                      "refitting the model with updated settings.")
+        warnings.warn("CG hit max_iter before reaching tol; the returned "
+                      "weights are usable but a larger preconditioner "
+                      "rank or looser tol may fit better.")
     if verbose:
         print(f"CG iterations: {n_iter}")
     return weights, n_iter, losses

@@ -113,13 +113,50 @@ class SORFKernelBaseclass(KernelBaseclass):
             params["chi"] = self.chi_arr.astype(dt)
         return params
 
-    def pure_feature_fn(self):
+    def poly_range_ok(self, input_x):
+        """Host-side check that every feature-map argument this input can
+        produce stays inside the polynomial sincos' Cody-Waite range.
+
+        Bound: max|arg| <= sigma * max_row ||x|| * max_col ||proj||.  The
+        projection column norms and the current sigma are host-known per
+        kernel state, so predict paths can decide AT TRACE TIME whether
+        the runtime lax.cond guard (which compiles BOTH feature-map
+        implementations into the program) is needed at all.
+        """
+        from ..ops.sincos import _POLY_ARG_LIMIT
+        if not (self.use_dense_projection and self._pallas_feature_allowed()):
+            return False
+        dt = np.float32 if not self.double_precision else np.float64
+        epoch_key = jnp.dtype(dt).name
+        cached = getattr(self, "_proj_colnorm", None)
+        if cached is None or cached[0] != epoch_key:
+            proj = np.asarray(self._dense_proj(dt))
+            cached = (epoch_key, float(np.sqrt(
+                np.max(np.sum(proj * proj, axis=0)))))
+            self._proj_colnorm = cached
+        x = np.asarray(input_x)
+        if x.ndim != 2:
+            return False
+        row_norm = float(np.sqrt(np.max(np.sum(
+            x.astype(np.float64) ** 2, axis=1))))
+        sigma = float(self.hyperparams[1])  # stored linear
+        return abs(sigma) * row_norm * cached[1] < 0.9 * _POLY_ARG_LIMIT
+
+    def pure_feature_fn(self, assume_in_range=False):
+        """Pure (params, x, seq_len) -> features fn.
+
+        ``assume_in_range=True`` (callers must have validated the input
+        via poly_range_ok) traces ONLY the fused Pallas feature map,
+        halving fresh-HLO compile cost on predict paths; the default
+        keeps the runtime range guard for traced-sigma fitting paths.
+        """
         from .. import config as _cfg
         pallas_ok = self._pallas_feature_allowed()
-        key = (pallas_ok, _cfg.config_epoch())
-        cached = getattr(self, "_pure_fn", None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
+        assume_in_range = bool(assume_in_range) and pallas_ok
+        key = (pallas_ok, _cfg.config_epoch(), assume_in_range)
+        cache = getattr(self, "_pure_fns", None)
+        if cache is not None and key in cache:
+            return cache[key]
         intercept = self.fit_intercept
         padded = self.padded_dims
         num_freqs = self.num_freqs
@@ -141,29 +178,38 @@ class SORFKernelBaseclass(KernelBaseclass):
                         interp = _cfg.default_backend() == "cpu"
                         xp, pp = pad_operands(xs, params["proj"])
 
-                        # The kernel's polynomial sincos is exact only
-                        # inside the Cody-Waite range; guard at runtime
-                        # with a cheap conservative bound
-                        # max|arg| <= max_row ||x|| * max_col ||proj||
-                        # and fall back to the (guarded) XLA path when a
-                        # large sigma / un-standardised data could
-                        # exceed it -- same contract as ops/sincos.py.
-                        row_n = jnp.sqrt(jnp.max(jnp.sum(xp * xp,
-                                                         axis=1)))
-                        col_n = jnp.sqrt(jnp.max(jnp.sum(pp * pp,
-                                                         axis=0)))
-                        in_range = row_n * col_n < jnp.asarray(
-                            _POLY_ARG_LIMIT, xp.dtype)
+                        if assume_in_range:
+                            # Caller validated the argument range
+                            # host-side (poly_range_ok): trace only the
+                            # fused kernel.
+                            feats = rbf_feature_map_pallas(
+                                xp, pp, intercept, padded,
+                                interpret=interp)
+                        else:
+                            # The kernel's polynomial sincos is exact
+                            # only inside the Cody-Waite range; guard at
+                            # runtime with a cheap conservative bound
+                            # max|arg| <= max_row ||x|| * max_col ||proj||
+                            # and fall back to the (guarded) XLA path
+                            # when a large sigma / un-standardised data
+                            # could exceed it -- same contract as
+                            # ops/sincos.py.
+                            row_n = jnp.sqrt(jnp.max(jnp.sum(xp * xp,
+                                                             axis=1)))
+                            col_n = jnp.sqrt(jnp.max(jnp.sum(pp * pp,
+                                                             axis=0)))
+                            in_range = row_n * col_n < jnp.asarray(
+                                _POLY_ARG_LIMIT, xp.dtype)
 
-                        feats = jax.lax.cond(
-                            in_range,
-                            lambda a, p: rbf_feature_map_pallas(
-                                a, p, intercept, padded,
-                                interpret=interp),
-                            lambda a, p: rbf_feature_map_dense(
-                                a[:, :x.shape[-1]], p[:x.shape[-1]],
-                                intercept, padded),
-                            xp, pp)
+                            feats = jax.lax.cond(
+                                in_range,
+                                lambda a, p: rbf_feature_map_pallas(
+                                    a, p, intercept, padded,
+                                    interpret=interp),
+                                lambda a, p: rbf_feature_map_dense(
+                                    a[:, :x.shape[-1]], p[:x.shape[-1]],
+                                    intercept, padded),
+                                xp, pp)
                     else:
                         from ..utils.fallback import note_fallback
                         note_fallback(
@@ -184,7 +230,10 @@ class SORFKernelBaseclass(KernelBaseclass):
                 if intercept:
                     feats = feats.at[:, 0].set(1.0)
                 return feats
-        self._pure_fn = (key, fn)
+        if cache is None or len(cache) > 4:
+            cache = {}
+        cache[key] = fn
+        self._pure_fns = cache
         return fn
 
     def kernel_specific_gradient(self, input_x, sequence_length=None):
@@ -317,10 +366,10 @@ class Matern(SORFKernelBaseclass):
         parms = kernel_spec_parms or {}
         if "matern_nu" not in parms:
             raise ValueError(
-                "Tried to initialize a Matern kernel without supplying nu.")
+                "A Matern kernel requires matern_nu in kernel_settings.")
         self.matern_nu = float(parms["matern_nu"])
         if not 0.5 <= self.matern_nu <= 2.5:
-            raise ValueError("nu must be >= 1/2 and <= 5/2.")
+            raise ValueError("matern_nu is only supported on [0.5, 2.5].")
         modifier = state_rng.matern_chi_modifier(
             random_seed, self.num_freqs, self.matern_nu, self._chi_np.dtype)
         self._chi_np = self._chi_np / modifier

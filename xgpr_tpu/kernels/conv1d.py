@@ -47,7 +47,7 @@ class ConvKernelBaseclass(KernelBaseclass):
         if len(xdim) != 3:
             raise RuntimeError(
                 "Tried to initialize a Conv1d kernel with a 2d x-array! "
-                "x should be a 3d array for Conv1d.")
+                "Convolution kernels expect (rows, seq, channels) 3d input.")
         parms = kernel_spec_parms or {}
         averaging = parms.get("averaging", "none")
         if averaging not in _AVERAGING:
@@ -85,7 +85,7 @@ class ConvKernelBaseclass(KernelBaseclass):
     def _require_lengths(self, input_x, sequence_length):
         if sequence_length is None:
             raise RuntimeError(
-                "sequence_length is required for convolution kernels.")
+                "Convolution kernels cannot run without per-row sequence lengths.")
         if input_x.shape[2] != self._xdim[2]:
             raise RuntimeError("Unexpected input shape supplied.")
         # Reference contract (rbf_convolution.cpp:79-84): all lengths must
@@ -334,7 +334,7 @@ class Conv1dMatern(ConvKernelBaseclass):
             raise ValueError("Conv1dMatern requires 'matern_nu'.")
         self.matern_nu = float(parms["matern_nu"])
         if not 0.5 <= self.matern_nu <= 2.5:
-            raise ValueError("nu must be >= 1/2 and <= 5/2.")
+            raise ValueError("matern_nu is only supported on [0.5, 2.5].")
         modifier = state_rng.matern_chi_modifier(
             random_seed, self.num_freqs, self.matern_nu, self._chi_np.dtype)
         self._chi_np = self._chi_np / modifier
@@ -379,7 +379,7 @@ class GraphMatern(ConvKernelBaseclass):
             raise ValueError("GraphMatern requires 'matern_nu'.")
         self.matern_nu = float(parms["matern_nu"])
         if not 0.5 <= self.matern_nu <= 2.5:
-            raise ValueError("nu must be >= 1/2 and <= 5/2.")
+            raise ValueError("matern_nu is only supported on [0.5, 2.5].")
         modifier = state_rng.matern_chi_modifier(
             random_seed, self.num_freqs, self.matern_nu, self._chi_np.dtype)
         self._chi_np = self._chi_np / modifier

@@ -30,7 +30,7 @@ class KernelBaseclass(ABC):
         kernel_spec_parms = kernel_spec_parms or {}
         self.double_precision = double_precision
         if num_rffs < 2:
-            raise RuntimeError("num_rffs should always be >= 2.")
+            raise RuntimeError("Fewer than 2 random features makes no sense; raise num_rffs.")
 
         if sine_cosine_kernel:
             if num_rffs % 2 != 0:

@@ -103,7 +103,7 @@ class Conv1dTwoLayer(KernelBaseclass):
     def _layer1(self, input_x, sequence_length):
         if sequence_length is None:
             raise ValueError(
-                "sequence_length is required for convolution kernels.")
+                "Convolution kernels cannot run without per-row sequence lengths.")
         if input_x.shape[2] != self._xdim[2]:
             raise RuntimeError("Unexpected input shape supplied.")
         if self.use_dense_projection:

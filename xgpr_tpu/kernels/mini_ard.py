@@ -81,7 +81,7 @@ class MiniARD(KernelBaseclass):
 
     def _check_split_points(self, xdim):
         if self.split_pts.shape[0] - 2 < 1:
-            raise ValueError("There must be at least one split point.")
+            raise ValueError("MiniARD needs one or more split points to define its feature groups.")
         if self.split_pts[0] < 0 or self.split_pts[-1] > xdim[1]:
             raise ValueError("Split points out of range.")
         if np.diff(self.split_pts).min() == 0:

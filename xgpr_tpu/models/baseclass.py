@@ -23,7 +23,7 @@ class ModelBaseclass:
         if kernel_settings is None:
             kernel_settings = dict(constants.DEFAULT_KERNEL_SPEC_PARMS)
         if not isinstance(kernel_settings, dict):
-            raise RuntimeError("kernel_settings must be a dict.")
+            raise RuntimeError("Pass kernel_settings as a dict of option name -> value.")
         self._kernel_choice = None
         self.kernel = None
         self.weights = None
@@ -49,13 +49,25 @@ class ModelBaseclass:
             self.device = device
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _dataset_token(dataset):
+        """Cache key for a dataset: the never-recycled uid where the
+        dataset provides one (all built-in datasets do), falling back to
+        id() + shape for user subclasses that bypass the baseclass
+        constructor."""
+        get_uid = getattr(dataset, "get_uid", None)
+        if get_uid is not None:
+            return ("uid", get_uid())
+        return ("id", id(dataset), dataset.get_ndatapoints(),
+                tuple(dataset.get_xdim()))
+
     def _engine(self, dataset):
         """Cached Engine per (dataset, kernel) pair; hyperparameters flow
         through feature_params at reduction time so reuse is safe.  When
         multiple accelerator devices are visible (config.should_shard),
         the sharded shard_map+psum engine is used transparently."""
         from .. import config as _config
-        key = (id(dataset), id(self.kernel))
+        key = (self._dataset_token(dataset), id(self.kernel))
         engine = self._engines.get(key)
         if engine is None:
             import numpy as _np
@@ -147,9 +159,9 @@ class ModelBaseclass:
 
     def pre_prediction_checks(self, input_x, sequence_lengths, get_var):
         if self.kernel is None or self.weights is None:
-            raise RuntimeError("Model has not yet been successfully fitted.")
+            raise RuntimeError("No fitted weights present; call fit() first.")
         if not self.kernel.validate_new_datapoints(input_x):
-            raise RuntimeError("The input has incorrect dimensionality.")
+            raise RuntimeError("Input array shape does not match the shape this model was fitted for.")
         if sequence_lengths is None:
             if input_x.ndim != 2:
                 raise RuntimeError("sequence_lengths is required if using a "
@@ -193,13 +205,13 @@ class ModelBaseclass:
     def _initialize_kernel(self, dataset=None, xdim=None, hyperparams=None,
                            bounds=None):
         if self.kernel_choice not in KERNEL_NAME_TO_CLASS:
-            raise RuntimeError("An unrecognized kernel choice was supplied.")
+            raise RuntimeError("kernel_choice does not name a registered kernel.")
         if dataset is not None:
             input_xdim = dataset.get_xdim()
         elif xdim is not None:
             input_xdim = xdim
         else:
-            raise RuntimeError("Either a dataset or xdim must be supplied.")
+            raise RuntimeError("Kernel construction needs input dimensions: pass a dataset or an xdim tuple.")
 
         self.kernel = KERNEL_NAME_TO_CLASS[self.kernel_choice](
             input_xdim, self.num_rffs, self.random_seed, None,
@@ -209,8 +221,7 @@ class ModelBaseclass:
         # Some kernels (Linear) set num_rffs themselves.
         self._num_rffs = self.kernel.get_num_rffs()
         if self.variance_rffs >= self.num_rffs and self.is_regression:
-            raise RuntimeError("The number of variance rffs must be "
-                               "< num_rffs.")
+            raise RuntimeError("variance_rffs cannot reach num_rffs; shrink it.")
         if bounds is not None:
             self.kernel.set_bounds(bounds)
         if hyperparams is not None:
@@ -231,8 +242,7 @@ class ModelBaseclass:
             self._initialize_kernel(dataset)
         self.weights, self.var = None, None
         if self.num_rffs <= 2:
-            raise RuntimeError("num_rffs should be > 2 to use any tuning "
-                               "method.")
+            raise RuntimeError("Tuning with num_rffs <= 2 cannot distinguish hyperparameters; raise num_rffs.")
         if exact_method and \
                 self.kernel.get_num_rffs() > constants.MAX_CLOSED_FORM_RFFS:
             raise RuntimeError(
@@ -251,42 +261,49 @@ class ModelBaseclass:
             if max_rank < 1:
                 raise RuntimeError("Invalid value for max_rank.")
             if max_rank >= self.kernel.get_num_rffs():
-                raise RuntimeError("Max rank should be < the number of "
-                                   "rffs.")
+                raise RuntimeError("max_rank cannot reach num_rffs.")
 
     # ------------------------------------------------------------------
     def _autoselect_preconditioner(self, dataset, min_rank=512,
                                    max_rank=3000, increment_size=512,
                                    always_use_srht2=False,
                                    ratio_target=30.):
-        """Rank autoselection loop (model_baseclass.py:376-434)."""
-        sample_frac, method, ratio, rank = 0.2, "srht", np.inf, min_rank
-        actual_num_rffs = self.kernel.get_num_rffs()
+        """Pick a Nystrom rank whose estimated min-eig/lambda^2 ratio
+        predicts a fast CG fit, then build the preconditioner.
 
-        if rank >= actual_num_rffs:
-            rank = actual_num_rffs - 1
-            ratio = 0.5 * ratio_target
-        if dataset.get_ndatapoints() < 5000:
-            sample_frac = 1.0
+        Role parity with the reference's rank-autoselect
+        (model_baseclass.py:376-434): walk a ladder of candidate ranks,
+        stopping at the first whose sampled ratio estimate
+        (:_check_rank_ratio) clears ``ratio_target``.  If the ladder is
+        exhausted, fall back to the largest admissible rank and upgrade
+        to the two-pass srht_2 construction, which extracts more from
+        the same rank at roughly double the build cost.
+        """
+        rank_cap = min(max_rank, self.kernel.get_num_rffs() - 1)
+        # Small datasets are cheap to sketch exactly; larger ones are
+        # probed with a 20% row sample.
+        sample_frac = 1.0 if dataset.get_ndatapoints() < 5000 else 0.2
 
-        while ratio > ratio_target and rank < max_rank:
-            ratio = self._check_rank_ratio(dataset, sample_frac, rank)
-            if ratio > ratio_target:
-                if (rank + increment_size) < max_rank and \
-                        (rank + increment_size) < actual_num_rffs:
-                    rank += increment_size
-                else:
-                    rank = min(max_rank, actual_num_rffs - 1)
-                    method = "srht_2"
+        chosen_rank, method = rank_cap, "srht_2"
+        if min_rank >= rank_cap:
+            # num_rffs so small that the ladder has nowhere to go --
+            # a capped single-pass build is always adequate there.
+            chosen_rank, method = rank_cap, "srht"
+        else:
+            ladder = range(min_rank, rank_cap, increment_size)
+            for candidate in ladder:
+                est = self._check_rank_ratio(dataset, sample_frac,
+                                             candidate)
+                if est <= ratio_target:
+                    chosen_rank, method = candidate, "srht"
                     break
 
-        if self.verbose:
-            print(f"Using rank: {rank}")
         if always_use_srht2:
             method = "srht_2"
-
+        if self.verbose:
+            print(f"Preconditioner rank {chosen_rank} ({method}).")
         engine = self._engine(dataset)
-        return NystromPreconditioner(engine, rank, self.verbose,
+        return NystromPreconditioner(engine, chosen_rank, self.verbose,
                                      self.random_seed, method,
                                      is_regression=self.is_regression)
 
@@ -313,8 +330,7 @@ class ModelBaseclass:
         """
         num_rffs = self.kernel.get_num_rffs()
         hard_cap = min(constants.LARGEST_NMLL_MAX_RANK, num_rffs - 1)
-        ds_token = (id(dataset), dataset.get_ndatapoints(),
-                    tuple(dataset.get_xdim()))
+        ds_token = self._dataset_token(dataset)
         cached = self._nmll_rank_cache
         if cached is not None and cached[0] != ds_token:
             cached = None
@@ -386,7 +402,7 @@ class ModelBaseclass:
         if not isinstance(value, str):
             raise RuntimeError("kernel_choice must be a string.")
         if value not in KERNEL_NAME_TO_CLASS:
-            raise RuntimeError("You supplied an unrecognized kernel.")
+            raise RuntimeError("kernel_choice does not name a registered kernel.")
         self._kernel_choice = value
         self.kernel = None
         self.weights = None
@@ -420,7 +436,7 @@ class ModelBaseclass:
                 f"variance_rffs is capped at {constants.MAX_VARIANCE_RFFS}.")
         if self.kernel is not None and value > self.num_rffs and \
                 self.kernel_choice not in ("Linear",):
-            raise RuntimeError("variance_rffs must be <= num_rffs.")
+            raise RuntimeError("variance_rffs cannot exceed num_rffs.")
         self._variance_rffs = value
         if self.var is not None:
             self.weights = None

@@ -19,7 +19,7 @@ class GPClassification(ModelBaseclass):
                  kernel_settings=None, verbose=True, random_seed=123):
         if kernel_settings is not None and \
                 not isinstance(kernel_settings, dict):
-            raise RuntimeError("kernel_settings must be a dict.")
+            raise RuntimeError("Pass kernel_settings as a dict of option name -> value.")
         super().__init__(num_rffs, 0, kernel_choice, device=device,
                          kernel_settings=kernel_settings, verbose=verbose,
                          random_seed=random_seed)
@@ -55,7 +55,7 @@ class GPClassification(ModelBaseclass):
         pytree for serving (see GPRegression.export_predict_fn)."""
         if self.kernel is None or self.weights is None or \
                 self.gamma is None:
-            raise RuntimeError("Model has not been fitted yet.")
+            raise RuntimeError("Call fit() before predicting.")
         feature_fn = self.kernel.pure_feature_fn()
         w = jnp.asarray(self.weights)
         state = {
@@ -79,7 +79,7 @@ class GPClassification(ModelBaseclass):
         self.pre_prediction_checks(input_x, sequence_lengths, False)
         input_x = self._bucket_sequence_axis(input_x)
         if self.gamma is None:
-            raise RuntimeError("Model has not been fitted yet.")
+            raise RuntimeError("Call fit() before predicting.")
         weights = jnp.asarray(self.weights)
         gamma = jnp.asarray(self.gamma, weights.dtype)
 

@@ -23,7 +23,7 @@ class AuxiliaryBaseclass:
         self.verbose = verbose
 
         if kernel_choice not in KERNEL_NAME_TO_CLASS:
-            raise RuntimeError("An unrecognized kernel choice was supplied.")
+            raise RuntimeError("kernel_choice does not name a registered kernel.")
 
         if kernel_choice in ARR_3D_KERNELS:
             width = kernel_settings.get("conv_width", 10)
@@ -43,7 +43,7 @@ class AuxiliaryBaseclass:
 
     def pre_prediction_checks(self, input_x, sequence_lengths):
         if not self.kernel.validate_new_datapoints(input_x):
-            raise RuntimeError("The input has incorrect dimensionality.")
+            raise RuntimeError("Input array shape does not match the shape this kernel was built for.")
         if sequence_lengths is None:
             if input_x.ndim != 2:
                 raise RuntimeError("sequence_lengths is required if using "

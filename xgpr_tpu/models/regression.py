@@ -29,7 +29,7 @@ from ..utils import rng as state_rng
 
 
 class GPRegression(ModelBaseclass):
-    """An approximate Gaussian process for regression."""
+    """GP regression on random Fourier features."""
 
     def __init__(self, num_rffs=256, variance_rffs=16, kernel_choice="RBF",
                  device=None, kernel_settings=None, verbose=True,
@@ -39,16 +39,28 @@ class GPRegression(ModelBaseclass):
                          verbose=verbose, random_seed=random_seed)
 
     # ------------------------------------------------------------------
-    def _predict_step_fn(self):
+    def _pure_feature_fn_hinted(self, assume_in_range):
+        """Kernel feature fn with the trace-time range hint when the
+        kernel supports it (hinted fns trace only the fused Pallas map,
+        halving fresh-HLO compile cost on predict)."""
+        if assume_in_range and hasattr(self.kernel, "poly_range_ok"):
+            return self.kernel.pure_feature_fn(assume_in_range=True)
+        return self.kernel.pure_feature_fn()
+
+    def _predict_step_fn(self, assume_in_range=False):
         """One fused jit program per chunk: features -> mean (-> variance).
         Cache keyed on the pure fn identities so kernel rebuilds AND
         config-mode switches (set_feature_map_mode etc.) rebuild the
         program instead of reusing a stale one."""
-        feature_fn = self.kernel.pure_feature_fn()
+        feature_fn = self._pure_feature_fn_hinted(assume_in_range)
         parts_fn = self.kernel.pure_feature_parts_fn()
-        cached = getattr(self, "_predict_step", None)
-        if cached is not None and cached[0] == (feature_fn, parts_fn):
-            return cached[1]
+        cache = getattr(self, "_predict_step", None)
+        if not isinstance(cache, dict):
+            cache = {}
+            self._predict_step = cache
+        cached = cache.get((feature_fn, parts_fn))
+        if cached is not None:
+            return cached
         positions = self.kernel.feature_positions() if parts_fn else None
         if positions is not None:
             cos_pos = jnp.asarray(positions[0])
@@ -74,7 +86,9 @@ class GPRegression(ModelBaseclass):
                             precision=_cfg.matmul_precision()).T
             pred_var = lam2 + lam2 * jnp.sum(zv * pv, axis=1)
             return mean, pred_var
-        self._predict_step = ((feature_fn, parts_fn), step)
+        if len(cache) > 4:
+            cache.clear()
+        cache[(feature_fn, parts_fn)] = step
         return step
 
     def _nystrom_predict_step_fn(self):
@@ -102,16 +116,20 @@ class GPRegression(ModelBaseclass):
         self._nystrom_predict_step = (feature_fn, step)
         return step
 
-    def _scanned_predict_fn(self):
+    def _scanned_predict_fn(self, assume_in_range=False):
         """Whole-input predict as ONE device program: pad rows to a
         chunk multiple and scan the per-chunk step.  One dispatch instead
         of N/chunk_size (dispatch latency dominates chunked predict on
         remote accelerators); compile count stays bounded because rows
         are padded to a chunk multiple."""
-        feature_fn = self.kernel.pure_feature_fn()
-        cached = getattr(self, "_scanned_predict", None)
-        if cached is not None and cached[0] is feature_fn:
-            return cached[1]
+        feature_fn = self._pure_feature_fn_hinted(assume_in_range)
+        cache = getattr(self, "_scanned_predict", None)
+        if not isinstance(cache, dict):
+            cache = {}
+            self._scanned_predict = cache
+        cached = cache.get(feature_fn)
+        if cached is not None:
+            return cached
 
         @partial(jax.jit, static_argnames=("get_var",))
         def run(params, x, slen, weights, var_mat, var_idx, lam2,
@@ -130,7 +148,9 @@ class GPRegression(ModelBaseclass):
                 return None, (mean, pred_var)
             _, (means, variances) = jax.lax.scan(body, None, (x, slen))
             return means.reshape(-1), variances.reshape(-1)
-        self._scanned_predict = (feature_fn, run)
+        if len(cache) > 4:
+            cache.clear()
+        cache[feature_fn] = run
         return run
 
     def export_predict_fn(self, get_var=False):
@@ -144,7 +164,7 @@ class GPRegression(ModelBaseclass):
         without the model object.
         """
         if self.kernel is None or self.weights is None:
-            raise RuntimeError("Model has not yet been successfully fitted.")
+            raise RuntimeError("No fitted weights present; call fit() first.")
         if get_var and (self.var is None or not self.exact_var_calculation):
             raise RuntimeError(
                 "Variance export requires a fitted model with the exact "
@@ -193,7 +213,13 @@ class GPRegression(ModelBaseclass):
         dtype = weights.dtype
 
         use_fused = self.exact_var_calculation or not get_var
-        step = self._predict_step_fn() if use_fused else None
+        # Host-side argument-range check: when the input provably stays
+        # inside the polynomial sincos range, the predict programs trace
+        # only the fused feature map (no dual-compiled runtime guard).
+        range_ok = getattr(self.kernel, "poly_range_ok", None)
+        in_range = bool(range_ok(input_x)) if range_ok is not None \
+            else False
+        step = self._predict_step_fn(in_range) if use_fused else None
         nystrom_step = None if use_fused else self._nystrom_predict_step_fn()
         if use_fused and get_var:
             var_mat = jnp.asarray(self.var, dtype=dtype)
@@ -212,7 +238,7 @@ class GPRegression(ModelBaseclass):
         n = input_x.shape[0]
         n_elements = int(np.prod(input_x.shape))
         if use_fused and n > chunk_size and n_elements < 10 ** 8:
-            run = self._scanned_predict_fn()
+            run = self._scanned_predict_fn(in_range)
             xc, slen, n = self._pad_and_chunk(input_x, sequence_lengths,
                                               chunk_size)
             if use_fused and get_var:
@@ -271,8 +297,8 @@ class GPRegression(ModelBaseclass):
             chol, weights = direct_weight_calc(z_trans_z, z_trans_y,
                                                self.kernel.get_lambda())
         except Exception:
-            warnings.warn("Near-singular matrix encountered when "
-                          f"calculating score for {hyperparams}.")
+            warnings.warn("Design matrix is numerically singular at "
+                          f"{hyperparams}; returning the penalty score.")
             return constants.DEFAULT_SCORE_IF_PROBLEM
 
         nll1 = float(0.5 * (y_trans_y - z_trans_y @ weights))
@@ -281,8 +307,8 @@ class GPRegression(ModelBaseclass):
             self.kernel.get_lambda(), np.array([nll1, nll2]), ndatapoints,
             self.kernel.get_num_rffs())
         if np.isnan(negloglik):
-            warnings.warn("Near-singular matrix encountered when "
-                          f"calculating score for {hyperparams}.")
+            warnings.warn("Design matrix is numerically singular at "
+                          f"{hyperparams}; returning the penalty score.")
             return constants.DEFAULT_SCORE_IF_PROBLEM
         if self.verbose:
             print("Evaluated NMLL.")
@@ -452,7 +478,7 @@ class GPRegression(ModelBaseclass):
         """Crude (exact-NMLL, closed-form-lambda) tuner
         (xgp_regression.py:497-561)."""
         if subsample < 0.01 or subsample > 1:
-            raise RuntimeError("subsample must be in the range [0.01, 1].")
+            raise RuntimeError("subsample is a row fraction and must lie in [0.01, 1].")
         optim_bounds = self._run_pre_nmll_prep(dataset, bounds)
         num_hparams = self.kernel.get_hyperparams().shape[0]
         engine_factory = lambda: self._engine(dataset)
@@ -473,73 +499,90 @@ class GPRegression(ModelBaseclass):
         self.kernel.set_hyperparams(hyperparams, logspace=True)
         return hyperparams, n_feval, best_score
 
+    # scipy.optimize option recipes per supported tuning method; the
+    # gradient flag marks methods whose cost function returns (f, grad).
+    _TUNER_RECIPES = {
+        "Powell": (lambda max_iter, tol:
+                   {"maxfev": max_iter, "xtol": 1e-1, "ftol": tol}, False),
+        "Nelder-Mead": (lambda max_iter, tol:
+                        {"maxfev": max_iter, "fatol": tol}, False),
+        "L-BFGS-B": (lambda max_iter, tol:
+                     {"maxiter": max_iter, "ftol": tol}, True),
+    }
+
+    def _tuning_start_point(self, starting_hyperparams, optim_bounds):
+        """Resolve/validate the optimizer's x0 inside the search box."""
+        current = self.kernel.get_hyperparams()
+        if starting_hyperparams is not None:
+            x0 = np.asarray(starting_hyperparams, dtype=np.float64)
+            if x0.ndim != 1 or x0.shape[0] != current.shape[0]:
+                raise RuntimeError(
+                    "starting_hyperparams must be a 1d array with one "
+                    "entry per kernel hyperparameter "
+                    f"({current.shape[0]} here).")
+            return x0
+        inside = np.all(current >= optim_bounds[:, 0]) and \
+            np.all(current <= optim_bounds[:, 1])
+        if inside:
+            return current
+        warnings.warn(
+            "Current kernel hyperparameters sit outside the search box; "
+            "restarting the optimizer from the box's midpoint instead.",
+            UserWarning)
+        return optim_bounds.mean(axis=1)
+
     def tune_hyperparams(self, dataset, bounds=None, max_iter=50,
                          tuning_method="Powell", starting_hyperparams=None,
                          tol=1e-2, n_restarts=1, nmll_method="exact",
                          manual_settings=None):
-        """scipy.optimize-driven tuning (xgp_regression.py:564-707)."""
-        if tuning_method == "Powell":
-            options = {"maxfev": max_iter, "xtol": 1e-1, "ftol": tol}
-        elif tuning_method == "Nelder-Mead":
-            options = {"maxfev": max_iter, "fatol": tol}
-        elif tuning_method == "L-BFGS-B":
-            if nmll_method == "approximate":
-                raise RuntimeError("Approximate NMLL is not supported for "
-                                   "L-BFGS-B at this time.")
-            options = {"maxiter": max_iter, "ftol": tol}
+        """Tune hyperparameters by handing an NMLL cost function to
+        scipy.optimize.minimize, with optional random restarts.
+
+        Role parity with the reference's scipy-wrapper tuner
+        (xgp_regression.py:564-707): Powell / Nelder-Mead on either NMLL
+        flavour, L-BFGS-B on the exact NMLL with its analytic gradient.
+        """
+        if tuning_method not in self._TUNER_RECIPES:
+            raise RuntimeError(
+                f"Unknown tuning_method {tuning_method!r}; choose one of "
+                f"{sorted(self._TUNER_RECIPES)}.")
+        make_options, uses_gradient = self._TUNER_RECIPES[tuning_method]
+
+        if nmll_method == "exact":
+            cost_fun = self.exact_nmll_gradient if uses_gradient \
+                else self.exact_nmll
+            args = (dataset,)
+        elif nmll_method == "approximate":
+            if uses_gradient:
+                raise RuntimeError(
+                    "The SLQ-approximated NMLL has no gradient, so it "
+                    "cannot drive L-BFGS-B; pick Powell or Nelder-Mead, "
+                    "or use nmll_method='exact'.")
+            cost_fun = self.approximate_nmll
+            args = (dataset, manual_settings)
         else:
-            raise RuntimeError("Invalid tuning method supplied.")
+            raise RuntimeError(
+                f"Unknown nmll_method {nmll_method!r}; choose 'exact' or "
+                "'approximate'.")
 
         optim_bounds = self._run_pre_nmll_prep(dataset, bounds)
+        x0 = self._tuning_start_point(starting_hyperparams, optim_bounds)
+        restart_rng = np.random.default_rng(self.random_seed)
 
-        if nmll_method == "approximate":
-            args = (dataset, manual_settings)
-            cost_fun = self.approximate_nmll
-        elif nmll_method == "exact":
-            args = (dataset,)
-            cost_fun = self.exact_nmll_gradient \
-                if tuning_method == "L-BFGS-B" else self.exact_nmll
-        else:
-            raise RuntimeError("Invalid nmll method supplied.")
-
-        bounds_tuples = list(map(tuple, optim_bounds))
-        rng = np.random.default_rng(self.random_seed)
-
-        if starting_hyperparams is None:
-            x0 = self.kernel.get_hyperparams()
-            if (x0 - optim_bounds[:, 0]).min() < 0 or \
-                    (optim_bounds[:, 1] - x0).min() < 0:
-                x0 = optim_bounds.mean(axis=1)
-                warnings.warn(
-                    "The kernel hyperparameters were outside the "
-                    "optimization boundaries; using the bounds' mean as "
-                    "the starting point.", UserWarning)
-        elif isinstance(starting_hyperparams, np.ndarray) and \
-                starting_hyperparams.shape[0] == \
-                self.kernel.get_hyperparams().shape[0]:
-            x0 = starting_hyperparams
-        else:
-            raise RuntimeError("Invalid starting hyperparams were supplied.")
-
-        best_score, n_feval, hyperparams = np.inf, 0, None
+        best_score, hyperparams, n_feval = np.inf, None, 0
         for _ in range(n_restarts):
-            if tuning_method != "L-BFGS-B":
-                res = minimize(cost_fun, x0=x0, options=options,
-                               method=tuning_method, args=args,
-                               bounds=bounds_tuples)
-            else:
-                res = minimize(cost_fun, x0=x0, options=options,
-                               method=tuning_method, args=args,
-                               bounds=bounds_tuples, jac=True)
+            res = minimize(cost_fun, x0=x0, args=args,
+                           method=tuning_method,
+                           options=make_options(max_iter, tol),
+                           bounds=[tuple(row) for row in optim_bounds],
+                           jac=True if uses_gradient else None)
             n_feval += res.nfev
             if res.fun < best_score:
-                hyperparams, best_score = res.x, res.fun
+                best_score, hyperparams = res.fun, res.x
             if self.verbose:
-                print(f"Best score: {best_score}")
-            x0 = np.asarray([
-                rng.uniform(low=optim_bounds[j, 0],
-                            high=optim_bounds[j, 1])
-                for j in range(optim_bounds.shape[0])])
+                print(f"Restart done; best NMLL so far {best_score}.")
+            x0 = restart_rng.uniform(optim_bounds[:, 0],
+                                     optim_bounds[:, 1])
 
         self.kernel.set_hyperparams(hyperparams, logspace=True)
         return hyperparams, n_feval, best_score
