@@ -85,6 +85,17 @@ class ModelBaseclass:
                     # superbatches through the same shard_map programs.
                     from ..parallel.streaming import StreamingShardedEngine
                     engine = StreamingShardedEngine(self.kernel, dataset)
+            elif not fits and _jax.process_count() == 1:
+                # Single-device out-of-core: same superbatch machinery on
+                # a 1-device mesh, so one chip gets scanned multi-chunk
+                # dispatches (fewer per-call latencies) and the one-deep
+                # host->device prefetch that overlaps transfer with
+                # compute, instead of a synchronous per-chunk loop.
+                from ..parallel.mesh import data_mesh
+                from ..parallel.streaming import StreamingShardedEngine
+                engine = StreamingShardedEngine(
+                    self.kernel, dataset,
+                    mesh=data_mesh(n_devices=1))
             else:
                 engine = Engine(self.kernel, dataset)
             self._engines = {key: engine}  # keep at most one

@@ -59,23 +59,42 @@ class StreamingShardedEngine(ShardedEngine):
             else self.n_dev
         self._local_steps = self.batches_per_step * local_dev
         self._has_l = len(self.dataset.get_xdim()) == 3
+        self._global_superbatches = None
         if jax.process_count() > 1:
-            self.ndatapoints = self._count_rows_global()
+            self.ndatapoints, self._global_superbatches = \
+                self._global_stream_geometry()
 
-    def _count_rows_global(self):
-        """Global datapoint count: psum of each host's unmasked rows."""
-        local = 0.0
+    def _global_stream_geometry(self):
+        """One collective exchange of stream geometry across hosts:
+        (psum of unmasked rows, MAX superbatch count over hosts).
+
+        Every reduction program call is a collective, so hosts must all
+        take the same number of superbatch steps; with unequal local file
+        splits, the short hosts pad their streams with masked empty
+        superbatches up to the global maximum instead of deadlocking in
+        a rendezvous.
+        """
+        local_rows, local_batches = 0.0, 0
         for _, _, _, mb in self.dataset.padded_batches(with_y=False):
-            local += float(np.sum(mb))
+            local_rows += float(np.sum(mb))
+            local_batches += 1
+        local_steps = -(-local_batches // self._local_steps)
         from .distributed import host_local_stack_to_global
         from jax import shard_map as _sm
-        per_dev = np.full((jax.local_device_count(), 1),
-                          local / jax.local_device_count())
+        n_local_dev = jax.local_device_count()
+        per_dev = np.stack([
+            np.full((n_local_dev,), local_rows / n_local_dev),
+            np.full((n_local_dev,), float(local_steps)),
+        ], axis=1)
         arr = host_local_stack_to_global(per_dev, self.mesh)
-        fn = jax.jit(_sm(lambda x: jax.lax.psum(x, DATA_AXIS),
-                         mesh=self.mesh, check_vma=False,
+
+        def both(x):
+            return jnp.stack([jax.lax.psum(x[:, 0], DATA_AXIS),
+                              jax.lax.pmax(x[:, 1], DATA_AXIS)], axis=1)
+        fn = jax.jit(_sm(both, mesh=self.mesh, check_vma=False,
                          in_specs=P(DATA_AXIS), out_specs=P()))
-        return int(round(float(fn(arr)[0, 0])))
+        out = np.asarray(fn(arr))
+        return int(round(float(out[0, 0]))), int(round(float(out[0, 1])))
 
     # ------------------------------------------------------------------
     def _put(self, arrs):
@@ -89,12 +108,19 @@ class StreamingShardedEngine(ShardedEngine):
 
     def _host_superbatches(self, keep_rng=None, keep_prob=None):
         """Yield (x, l, m, y) host superbatch arrays with S_local padded
-        batches each; tail superbatch zero-padded (mask 0)."""
+        batches each; tail superbatch zero-padded (mask 0).  On
+        multi-host runs every host yields exactly the GLOBAL maximum
+        superbatch count: hosts whose local split is shorter append fully
+        masked empty superbatches, so unequal file splits cannot deadlock
+        the collectives (the zero masks contribute nothing)."""
         dt = np.dtype(jnp.dtype(self._dtype).name)
         ydt = np.int32 if self.is_classification else dt
         s_local = self._local_steps
-        full_len = self.dataset.get_xdim()[1]
+        xdim = self.dataset.get_xdim()
+        full_len = xdim[1]
+        chunk = self.dataset.get_chunk_size()
         xs, ys, ls, ms = [], [], [], []
+        n_yielded = 0
 
         def assemble():
             n = len(xs)
@@ -113,7 +139,11 @@ class StreamingShardedEngine(ShardedEngine):
 
         for xb, yb, lb, mb in self.dataset.padded_batches(with_y=True):
             if keep_prob is not None and keep_prob < 1.0:
-                keep = keep_rng.random(mb.shape[0]) < keep_prob
+                # Exact per-chunk sample count, matching Engine.sketch
+                # and the reference's cutoff
+                # (rand_nys_constructors.py:82-84).
+                from ..utils.rng import exact_count_keep_mask
+                keep = exact_count_keep_mask(mb, keep_prob, keep_rng)
                 mb = mb * keep.astype(mb.dtype)
             xs.append(np.asarray(xb))
             ys.append(np.zeros(mb.shape, dtype=ydt) if yb is None
@@ -122,9 +152,19 @@ class StreamingShardedEngine(ShardedEngine):
             ls.append(np.full(mb.shape, full_len, dtype=np.int32)
                       if lb is None else np.asarray(lb, dtype=np.int32))
             if len(xs) == s_local:
+                n_yielded += 1
                 yield assemble()
         if xs:
+            n_yielded += 1
             yield assemble()
+
+        target = self._global_superbatches
+        while target is not None and n_yielded < target:
+            n_yielded += 1
+            yield (np.zeros((s_local, chunk) + tuple(xdim[1:]), dtype=dt),
+                   np.full((s_local, chunk), full_len, dtype=np.int32),
+                   np.zeros((s_local, chunk), dtype=dt),
+                   np.zeros((s_local, chunk), dtype=ydt))
 
     def _stream_steps(self, keep_rng=None, keep_prob=None):
         """Device-resident superbatches with one-deep prefetch: the
