@@ -124,3 +124,34 @@ def test_conv_maxpool_pallas_matches_xla():
     ref = np.asarray(got_x)
     tol = 3e-5 * max(1.0, np.abs(ref).max())
     assert np.abs(np.asarray(got_p) - ref).max() < tol
+
+
+def test_conv_parts_fast_sincos_mode():
+    """Fast-sincos conv parts stay within the propagated fast-pair error
+    of the exact XLA conv path."""
+    from xgpr_tpu import config
+    from xgpr_tpu.ops.sorf import rbf_norm_constant
+
+    rng = np.random.default_rng(12)
+    n, l, d, width, f = 16, 24, 21, 9, 256
+    x = rng.standard_normal((n, l, d)).astype(np.float32)
+    lengths = rng.integers(width, l + 1, size=(n,)).astype(np.int32)
+    radem, chi, proj = _state(7, width * d, f)
+    sigma = np.float32(0.5)
+    config.set_sincos_mode("fast")
+    try:
+        c, s = conv_parts_pallas(jnp.asarray(x), jnp.asarray(lengths),
+                                 proj, sigma, width, f, interpret=True)
+    finally:
+        config.set_sincos_mode("auto")
+    c_x, s_x = conv_rbf_features(jnp.asarray(x), jnp.asarray(lengths),
+                                 jnp.asarray(radem), jnp.asarray(chi),
+                                 sigma, width, 0, parts=True, proj=proj)
+    base = rbf_norm_constant(f, fit_intercept=False)
+    c_x = np.asarray(c_x, np.float64) / base
+    s_x = np.asarray(s_x, np.float64) / base
+    # window sums of <= nw elementwise errors of 4.1e-5 each
+    nw = l - width + 1
+    tol = 4.1e-5 * nw
+    assert np.abs(np.asarray(c) - c_x).max() < tol
+    assert np.abs(np.asarray(s) - s_x).max() < tol

@@ -73,3 +73,70 @@ def test_poly_sincos_pythagorean_and_shape():
     assert c.shape == x.shape and s.shape == x.shape
     assert np.max(np.abs(np.asarray(c) ** 2 + np.asarray(s) ** 2 - 1.0)) \
         < 1e-6
+
+
+def test_fast_sincos_accuracy_fp32():
+    """The "fast" full-period pair must stay ~25x inside the 1e-3 fp32
+    feature contract across its whole validity range (|x| < ~8192)."""
+    from xgpr_tpu.ops.sincos import _fast_sincos
+    rng = np.random.default_rng(2)
+    x = np.concatenate([
+        rng.uniform(-3.0, 3.0, 20000),
+        rng.uniform(-120.0, 120.0, 20000),
+        rng.uniform(-8000.0, 8000.0, 20000),
+        np.pi * np.arange(-64, 64) + rng.normal(0, 1e-4, 128),
+        np.array([0.0, np.pi, -np.pi, np.pi / 2, -np.pi / 2]),
+    ]).astype(np.float32)
+    cosv, sinv = _fast_sincos(jnp.asarray(x))
+    x64 = x.astype(np.float64)
+    assert np.max(np.abs(np.asarray(cosv) - np.cos(x64))) < 5e-5
+    assert np.max(np.abs(np.asarray(sinv) - np.sin(x64))) < 1e-5
+
+
+def test_fast_sincos_folded_multiplier():
+    """pair(x, w) == pair(x) * w for the fused-multiplier form, for all
+    three trace-time paths (fast / cephes / exact)."""
+    from xgpr_tpu.ops.sincos import _fast_sincos, kernel_sincos
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-40, 40, (32, 64)), dtype=jnp.float32)
+    w = jnp.asarray(rng.uniform(0.0, 2.0, (32, 1)), dtype=jnp.float32)
+    c0, s0 = _fast_sincos(x)
+    cw, sw = _fast_sincos(x, w)
+    assert np.allclose(np.asarray(cw), np.asarray(c0 * w), atol=1e-6)
+    assert np.allclose(np.asarray(sw), np.asarray(s0 * w), atol=1e-6)
+    for mode in ("auto", "exact", "fast"):
+        config.set_sincos_mode(mode)
+        try:
+            pair = kernel_sincos(jnp.float32)
+            c0, s0 = pair(x)
+            cw, sw = pair(x, w)
+            assert np.allclose(np.asarray(cw), np.asarray(c0 * w),
+                               atol=1e-6)
+            assert np.allclose(np.asarray(sw), np.asarray(s0 * w),
+                               atol=1e-6)
+        finally:
+            config.set_sincos_mode("auto")
+
+
+def test_fast_mode_dispatch_and_guard():
+    """set_sincos_mode("fast"): fp32 routes to the full-period pair with
+    the same out-of-range guard as auto; fp64 stays exact."""
+    from xgpr_tpu.ops.sincos import _fast_sincos
+    x32 = jnp.asarray(np.linspace(-50, 50, 1024), dtype=jnp.float32)
+    x64 = jnp.asarray(np.linspace(-50, 50, 1024), dtype=jnp.float64)
+    config.set_sincos_mode("fast")
+    try:
+        c, s = sincos(x32)
+        cf, sf = _fast_sincos(x32)
+        assert np.allclose(np.asarray(c), np.asarray(cf), atol=1e-6)
+        assert np.allclose(np.asarray(s), np.asarray(sf), atol=1e-6)
+        c64, _ = sincos(x64)
+        assert np.array_equal(np.asarray(c64), np.asarray(jnp.cos(x64)))
+        # out-of-range arguments switch the whole call to the builtin
+        big = x32.at[11].set(1.5e6)
+        cb, sb = sincos(big)
+        b64 = np.asarray(big, dtype=np.float64)
+        assert np.max(np.abs(np.asarray(cb) - np.cos(b64))) < 1e-4
+        assert np.max(np.abs(np.asarray(sb) - np.sin(b64))) < 1e-4
+    finally:
+        config.set_sincos_mode("auto")

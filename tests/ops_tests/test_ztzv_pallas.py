@@ -76,3 +76,30 @@ def test_fallback_is_observable():
     msgs = [w for w in rec if issubclass(w.category, RuntimeWarning)]
     assert len(msgs) == 1
     assert "XLA path" in str(msgs[0].message)
+
+
+def test_ztzv_pallas_fast_sincos_mode():
+    """set_sincos_mode("fast") retraces the kernel onto the full-period
+    polynomial; the result must stay within the fast pair's 4.1e-5
+    elementwise error propagated through the contractions."""
+    from xgpr_tpu import config
+    rng = np.random.default_rng(11)
+    n, d, f, k = 128, 84, 256, 4
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    m = (rng.random(n) > 0.25).astype(np.float32)
+    proj = (rng.standard_normal((d, f)) * 0.3).astype(np.float32)
+    vc = rng.standard_normal((f, k)).astype(np.float32)
+    vs = rng.standard_normal((f, k)).astype(np.float32)
+    config.set_sincos_mode("fast")
+    try:
+        oc, os_ = ztzv_parts_pallas(
+            jnp.asarray(x), jnp.asarray(m), jnp.asarray(proj),
+            np.float32(0.7), jnp.asarray(vc), jnp.asarray(vs), True, f,
+            interpret=True)
+    finally:
+        config.set_sincos_mode("auto")
+    oc_ref, os_ref = _oracle(x, m, proj, np.float32(0.7), vc, vs, True)
+    # elementwise 4.1e-5 on each of ~n feature values -> scaled gate
+    tol = 4.1e-5 * n * max(1.0, np.abs(vc).max() + np.abs(vs).max())
+    assert np.abs(np.asarray(oc) - oc_ref).max() < tol
+    assert np.abs(np.asarray(os_) - os_ref).max() < tol

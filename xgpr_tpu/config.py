@@ -217,16 +217,18 @@ def feature_map_mode() -> str:
 # ----------------------------------------------------------------------
 # sin/cos evaluation in the feature maps (see ops/sincos.py).  "auto"
 # (default) uses the fast shared-reduction polynomial for float32 and the
-# exact builtin for float64; "exact"/"poly" force one path.  Read at
-# trace time.
+# exact builtin for float64; "exact"/"poly" force one path; "fast" uses
+# the half-cost full-period polynomial pair (max err 4.1e-5 -- inside
+# the 1e-3 fp32 feature contract) for throughput-critical float32 fits.
+# Read at trace time.
 _SINCOS_MODE = "auto"
 
 
 def set_sincos_mode(mode: str):
     _bump_epoch()
     global _SINCOS_MODE
-    if mode not in ("auto", "exact", "poly"):
-        raise ValueError("sincos mode must be auto, exact or poly")
+    if mode not in ("auto", "exact", "poly", "fast"):
+        raise ValueError("sincos mode must be auto, exact, poly or fast")
     _SINCOS_MODE = mode
 
 

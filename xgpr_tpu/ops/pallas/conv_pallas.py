@@ -36,7 +36,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..sincos import _poly_sincos
 from .ztzv_pallas import _make_dot, _round_up
 
 _VMEM_BUDGET = 12 * 1024 * 1024
@@ -90,12 +89,8 @@ def _conv_parts_kernel(sig_ref, xw_ref, m_ref, proj_ref, oc_ref, os_ref,
                        *, precision):
     # sincos mode is read at trace time; the conv parts fn's cache is
     # epoch-keyed so a set_sincos_mode switch retraces this kernel.
-    from ..sincos import sincos_mode
-    if sincos_mode() == "exact":
-        def _poly_sincos(a):  # noqa: F811 -- local override
-            return jnp.cos(a), jnp.sin(a)
-    else:
-        from ..sincos import _poly_sincos
+    from ..sincos import kernel_sincos
+    pair = kernel_sincos()
     dot = _make_dot(precision)
     cdims = (((1,), (0,)), ((), ()))
     rd, bw, p = xw_ref.shape
@@ -110,21 +105,21 @@ def _conv_parts_kernel(sig_ref, xw_ref, m_ref, proj_ref, oc_ref, os_ref,
         proj = proj_ref[:]
         arg_a = dot(xa, proj, cdims) * sig_ref[0, 0]
         arg_b = dot(xb, proj, cdims) * sig_ref[0, 0]
-        ca, sa = _poly_sincos(arg_a)
-        cb, sb = _poly_sincos(arg_b)
-        ma = m_ref[:, :h, :]
-        mb = m_ref[:, h:, :]
-        cs = jnp.sum(ca.reshape(rd, h, ft) * ma, axis=1) + \
-            jnp.sum(cb.reshape(rd, h, ft) * mb, axis=1)
-        ss = jnp.sum(sa.reshape(rd, h, ft) * ma, axis=1) + \
-            jnp.sum(sb.reshape(rd, h, ft) * mb, axis=1)
+        ca, sa = pair(arg_a, m_ref[:, :h, :].reshape(rd * h, 1))
+        cb, sb = pair(arg_b, m_ref[:, h:, :].reshape(rd * h, 1))
+        cs = jnp.sum(ca.reshape(rd, h, ft), axis=1) + \
+            jnp.sum(cb.reshape(rd, h, ft), axis=1)
+        ss = jnp.sum(sa.reshape(rd, h, ft), axis=1) + \
+            jnp.sum(sb.reshape(rd, h, ft), axis=1)
     else:
         xwb = xw_ref[:].reshape(rd * bw, p)
         arg = dot(xwb, proj_ref[:], cdims) * sig_ref[0, 0]
-        c, s = _poly_sincos(arg)
-        m = m_ref[:]                   # (Rd, Bw, 1); lane-broadcasts
-        cs = jnp.sum(c.reshape(rd, bw, ft) * m, axis=1)
-        ss = jnp.sum(s.reshape(rd, bw, ft) * m, axis=1)
+        # window mask folded into the pair evaluation (one multiply, or
+        # zero extra on the fast path) instead of a separate masked
+        # product on the reshaped block.
+        c, s = pair(arg, m_ref[:].reshape(rd * bw, 1))
+        cs = jnp.sum(c.reshape(rd, bw, ft), axis=1)
+        ss = jnp.sum(s.reshape(rd, bw, ft), axis=1)
     k = pl.program_id(2)
 
     @pl.when(k == 0)

@@ -42,16 +42,13 @@ def _feature_kernel(x_ref, proj_ref, out_ref, *, width, scale):
     # the runtime max-|arg| guard (ops/sincos._guarded_poly_sincos) is a
     # lax.cond, which does not belong in a kernel body.  Callers route
     # extreme-argument workloads through the XLA path.
-    from ..sincos import _poly_sincos, sincos_mode
+    from ..sincos import kernel_sincos
     arg = jnp.dot(x_ref[:], proj_ref[:],
                   preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
-    if sincos_mode() == "exact" or arg.dtype != jnp.float32:
-        cosv, sinv = jnp.cos(arg), jnp.sin(arg)
-    else:
-        cosv, sinv = _poly_sincos(arg)
-    out_ref[:, :width] = cosv * scale
-    out_ref[:, width:] = sinv * scale
+    cosv, sinv = kernel_sincos(arg.dtype)(arg, jnp.float32(scale))
+    out_ref[:, :width] = cosv
+    out_ref[:, width:] = sinv
 
 
 @partial(jax.jit, static_argnames=("fit_intercept", "padded", "interpret"))

@@ -93,27 +93,21 @@ def _make_dot(precision):
 
 def _ztzv_kernel(sig_ref, x_ref, m_ref, proj_ref, vc_ref, vs_ref,
                  oc_ref, os_ref, *, scale, intercept, precision):
-    # sincos mode is read at trace time ("exact" forces the builtin);
-    # callers' caches are config-epoch-keyed so mode switches retrace.
-    from ..sincos import sincos_mode
-    if sincos_mode() == "exact":
-        def _poly_sincos(a):  # noqa: F811 -- local override
-            return jnp.cos(a), jnp.sin(a)
-    else:
-        from ..sincos import _poly_sincos
+    # sincos mode is read at trace time; callers' caches are
+    # config-epoch-keyed so mode switches retrace.
+    from ..sincos import kernel_sincos
+    pair = kernel_sincos()
     dot = _make_dot(precision)
     cdims = (((1,), (0,)), ((), ()))     # rows x cols contraction
     tdims = (((0,), (0,)), ((), ()))     # contract over the row axis
     arg = dot(x_ref[:], proj_ref[:], cdims) * sig_ref[0, 0]
-    c, s = _poly_sincos(arg)
-    c = c * scale
-    s = s * scale
+    # scale * row-mask folded into ONE per-element multiply (the fast
+    # path folds it into the polynomial's own trailing multiplies).
+    mb = m_ref[:]
+    c, s = pair(arg, mb * scale)
     if intercept:
         col = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
-        c = jnp.where(col == 0, jnp.float32(1.0), c)
-    mb = m_ref[:]
-    c = c * mb
-    s = s * mb
+        c = jnp.where(col == 0, mb, c)
     zv = dot(c, vc_ref[:], cdims) + dot(s, vs_ref[:], cdims)
     oc_inc = dot(c, zv, tdims)
     os_inc = dot(s, zv, tdims)
