@@ -130,3 +130,23 @@ def test_double_precision_fht_rebuilds_kernel():
     assert np.allclose(model.get_hyperparams(), hp_before)
     model.fit(dset, mode="exact", suppress_var=True)
     assert model.weights is not None
+
+
+def test_speed_presets_set_and_restore_knobs():
+    """set_speed_preset must land every knob on its documented value
+    (docs/speed_modes.md) and be fully reversible."""
+    from xgpr_tpu import config as cfg
+    try:
+        cfg.set_speed_preset("max")
+        assert cfg.sincos_mode() == "fast"
+        assert cfg.feature_matmul_precision() in ("default", "highest")
+        cfg.set_speed_preset("reference")
+        assert cfg.sincos_mode() == "exact"
+        assert cfg.feature_precision() in ("highest",)
+        import pytest
+        with pytest.raises(ValueError):
+            cfg.set_speed_preset("warp9")
+    finally:
+        cfg.set_speed_preset("balanced")
+    assert cfg.sincos_mode() == "auto"
+    assert cfg.feature_precision() in ("high", "highest")

@@ -151,6 +151,41 @@ def feature_matmul_precision() -> str:
 
 
 # ----------------------------------------------------------------------
+# Speed presets: one call that sets the (orthogonal) throughput knobs to
+# a documented operating point.  See docs/speed_modes.md for measured
+# accuracy/throughput tradeoffs of each preset on TPU.
+_SPEED_PRESETS = {
+    # The reference's numerical contract: fp32-exact matmuls everywhere
+    # and builtin sin/cos.
+    "reference": dict(feature_precision="highest", sincos="exact",
+                      fast_features=False),
+    # Default: 3-pass bf16 feature matmuls (~5e-7 relative) + the
+    # high-accuracy shared-reduction polynomial sincos (~1.2e-7).
+    "balanced": dict(feature_precision="high", sincos="auto",
+                     fast_features=False),
+    # Maximum throughput: 1-pass bf16 projection + bf16 feature
+    # materialisation (a fixed, slightly-perturbed random-feature draw)
+    # + the half-cost full-period polynomial sincos (~4.1e-5).
+    "max": dict(feature_precision="high", sincos="fast",
+                fast_features=True),
+}
+
+
+def set_speed_preset(name: str):
+    """Set all throughput knobs to a named operating point
+    ("reference" / "balanced" / "max"); see _SPEED_PRESETS."""
+    preset = _SPEED_PRESETS.get(name)
+    if preset is None:
+        raise ValueError(
+            f"speed preset must be one of {sorted(_SPEED_PRESETS)}")
+    set_feature_precision(preset["feature_precision"])
+    set_sincos_mode(preset["sincos"])
+    set_fast_features(preset["fast_features"])
+    if not preset["fast_features"]:
+        set_feature_dtype("float32")
+
+
+# ----------------------------------------------------------------------
 # CG matvec implementation (see ops/pallas/ztzv_pallas.py).  "auto"
 # (default) uses the fused Pallas chunk kernel on TPU for supported
 # dense-projection kernels and the XLA parts path elsewhere; "xla"
