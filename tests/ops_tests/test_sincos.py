@@ -140,3 +140,30 @@ def test_fast_mode_dispatch_and_guard():
         assert np.max(np.abs(np.asarray(sb) - np.sin(b64))) < 1e-4
     finally:
         config.set_sincos_mode("auto")
+
+
+def test_mode_switch_retraces_jitted_pallas_wrappers():
+    """Regression: the module-level jit on the Pallas wrappers caches by
+    shape, so the sincos mode must be a static ARGUMENT resolved outside
+    the jit -- switching modes after a same-shape trace must change the
+    result (previously the first-traced mode was silently frozen)."""
+    from xgpr_tpu.ops.pallas.sorf_pallas import rbf_feature_map_pallas
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((128, 128)) * 2.0,
+                    dtype=jnp.float32)
+    proj = jnp.asarray(rng.standard_normal((128, 256)),
+                       dtype=jnp.float32)
+    config.set_sincos_mode("exact")
+    try:
+        exact = np.asarray(rbf_feature_map_pallas(x, proj, False, 256,
+                                                  interpret=True))
+        config.set_sincos_mode("fast")
+        fast = np.asarray(rbf_feature_map_pallas(x, proj, False, 256,
+                                                 interpret=True))
+    finally:
+        config.set_sincos_mode("auto")
+    delta = np.abs(fast - exact).max()
+    # The fast pair differs from exact by up to ~4.1e-5 elementwise;
+    # identical output means the stale trace was reused.
+    assert 0.0 < delta < 1e-3

@@ -103,3 +103,51 @@ def test_ztzv_pallas_fast_sincos_mode():
     tol = 4.1e-5 * n * max(1.0, np.abs(vc).max() + np.abs(vs).max())
     assert np.abs(np.asarray(oc) - oc_ref).max() < tol
     assert np.abs(np.asarray(os_) - os_ref).max() < tol
+
+
+def test_ztzv_pallas_split_rows_matches_oracle(monkeypatch):
+    """The split-row-tile variant (independent MXU/VPU half-chains for
+    the VLIW scheduler) must be numerically identical to the oracle up
+    to fp32 roundoff."""
+    from xgpr_tpu.ops.pallas import ztzv_pallas as zp
+    monkeypatch.setattr(zp, "_SPLIT", "rows")
+    rng = np.random.default_rng(13)
+    n, d, f, k = 256, 84, 256, 4
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    m = (rng.random(n) > 0.25).astype(np.float32)
+    proj = (rng.standard_normal((d, f)) * 0.3).astype(np.float32)
+    vc = rng.standard_normal((f, k)).astype(np.float32)
+    vs = rng.standard_normal((f, k)).astype(np.float32)
+    oc, os_ = zp.ztzv_parts_pallas(
+        jnp.asarray(x), jnp.asarray(m), jnp.asarray(proj),
+        np.float32(0.7), jnp.asarray(vc), jnp.asarray(vs), True, f,
+        interpret=True)
+    oc_ref, os_ref = _oracle(x, m, proj, np.float32(0.7), vc, vs, True)
+    tol = 3e-5 * max(1.0, np.abs(oc_ref).max())
+    assert np.abs(np.asarray(oc) - oc_ref).max() < tol
+    assert np.abs(np.asarray(os_) - os_ref).max() < tol
+
+
+def test_ztzv_pallas_split_freqs_matches_oracle(monkeypatch):
+    """The split-frequency variant must also be numerically identical to
+    the oracle up to fp32 roundoff (incl. the intercept column landing
+    only in the first half)."""
+    from xgpr_tpu.ops.pallas import ztzv_pallas as zp
+    monkeypatch.setattr(zp, "_SPLIT", "freqs")
+    rng = np.random.default_rng(14)
+    n, d, f, k = 128, 84, 256, 4
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    m = (rng.random(n) > 0.25).astype(np.float32)
+    proj = (rng.standard_normal((d, f)) * 0.3).astype(np.float32)
+    vc = rng.standard_normal((f, k)).astype(np.float32)
+    vs = rng.standard_normal((f, k)).astype(np.float32)
+    for intercept in (True, False):
+        oc, os_ = zp.ztzv_parts_pallas(
+            jnp.asarray(x), jnp.asarray(m), jnp.asarray(proj),
+            np.float32(0.7), jnp.asarray(vc), jnp.asarray(vs),
+            intercept, f, interpret=True)
+        oc_ref, os_ref = _oracle(x, m, proj, np.float32(0.7), vc, vs,
+                                 intercept)
+        tol = 3e-5 * max(1.0, np.abs(oc_ref).max())
+        assert np.abs(np.asarray(oc) - oc_ref).max() < tol
+        assert np.abs(np.asarray(os_) - os_ref).max() < tol

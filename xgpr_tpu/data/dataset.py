@@ -64,6 +64,14 @@ class DatasetBaseclass(ABC):
     def get_ndatapoints(self):
         return self._xdim[0]
 
+    def get_n_batches(self):
+        """Number of padded batches ``padded_batches`` will yield, from
+        metadata only (no data pass).  One batch per chunk; subclasses
+        whose generators chunk differently (custom sources) must
+        override this to match, since multi-host streaming derives its
+        collective step count from it."""
+        return -(-self._xdim[0] // self._chunk_size)
+
     def get_chunk_size(self):
         return self._chunk_size
 
@@ -158,6 +166,11 @@ class OfflineDataset(DatasetBaseclass):
                                       for f in sequence_lengths]
         else:
             self._sequence_lengths = None
+
+    def get_n_batches(self):
+        # One chunk per file; files may be unevenly filled, so the
+        # base class's ceil(N / chunk_size) does not apply.
+        return len(self._xfiles)
 
     def _x_stream(self):
         """Prefer the native prefetching loader (xgpr_tpu/native) so disk

@@ -68,6 +68,10 @@ class Engine:
                 has_l = True
                 ls.append(lb)
         dt = self._dtype
+        # Host copy of the masks: subsampling (sketch row_keep_prob)
+        # reads mask VALUES on host, and reading them back from the
+        # device array would force a sync per chunk.
+        self._m_host = np.stack(ms)
         self._stacked = {
             "x": jnp.asarray(np.stack(xs), dtype=dt),
             "y": jnp.asarray(np.stack(ys),
@@ -81,22 +85,28 @@ class Engine:
     def _params(self):
         return self.kernel.feature_params()
 
-    def _batches(self, with_y=True):
-        """Yield (x, y, l, mask) jnp batches in the working dtype."""
+    def _batches(self, with_y=True, host_mask=False):
+        """Yield (x, y, l, mask[, host_mask]) jnp batches in the working
+        dtype.  ``host_mask=True`` appends the mask as a host numpy array
+        (free: stacked mode keeps a host copy, streaming masks are built
+        on host) so callers that inspect mask VALUES never sync the
+        device."""
         dt = self._dtype
         if self.mode == "stacked":
             s = self._stacked
             nb = s["x"].shape[0]
             for i in range(nb):
                 lb = None if s["l"] is None else s["l"][i]
-                yield s["x"][i], s["y"][i], lb, s["m"][i]
+                row = (s["x"][i], s["y"][i], lb, s["m"][i])
+                yield row + (self._m_host[i],) if host_mask else row
         else:
             ydt = jnp.int32 if self.is_classification else dt
             for xb, yb, lb, mb in self.dataset.padded_batches(with_y=with_y):
-                yield (jnp.asarray(xb, dtype=dt),
+                row = (jnp.asarray(xb, dtype=dt),
                        None if yb is None else jnp.asarray(yb, dtype=ydt),
                        None if lb is None else jnp.asarray(lb, jnp.int32),
                        jnp.asarray(mb, dtype=dt))
+                yield row + (np.asarray(mb),) if host_mask else row
 
     # ------------------------------------------------------------------
     # jitted batch kernels (cached per reduction name)
@@ -339,13 +349,15 @@ class Engine:
         if row_keep_prob is not None and row_keep_prob >= 1.0:
             row_keep_prob = None
         rng = np.random.default_rng(seed)
-        for xb, yb, lb, mb in self._batches(with_y=with_zty):
+        for xb, yb, lb, mb, mh in self._batches(with_y=with_zty,
+                                                host_mask=True):
             if row_keep_prob is not None:
                 # Subsample an exact count of real rows by masking
                 # (shapes stay static; count matches the reference's
                 # per-chunk cutoff, rand_nys_constructors.py:82-84).
+                # Computed from the HOST mask copy -- no device sync.
                 keep = state_rng.exact_count_keep_mask(
-                    mb, row_keep_prob, rng)
+                    mh, row_keep_prob, rng)
                 mb = mb * jnp.asarray(keep, dtype=mb.dtype)
             if with_zty:
                 a, b, c = run(params, xb, lb, mb, yb, radem, idx)

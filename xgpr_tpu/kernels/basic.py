@@ -126,8 +126,12 @@ class SORFKernelBaseclass(KernelBaseclass):
         from ..ops.sincos import _POLY_ARG_LIMIT
         if not (self.use_dense_projection and self._pallas_feature_allowed()):
             return False
+        from .. import config as _cfg
         dt = np.float32 if not self.double_precision else np.float64
-        epoch_key = jnp.dtype(dt).name
+        # Keyed on the config epoch like every other per-kernel cache:
+        # the dense projection is seed-deterministic today, but a future
+        # config-dependent projection layout must not reuse a stale norm.
+        epoch_key = (jnp.dtype(dt).name, _cfg.config_epoch())
         cached = getattr(self, "_proj_colnorm", None)
         if cached is None or cached[0] != epoch_key:
             proj = np.asarray(self._dense_proj(dt))

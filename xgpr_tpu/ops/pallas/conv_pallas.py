@@ -86,11 +86,11 @@ def conv_parts_shapes_ok(num_windows, wd, num_freqs, dtype) -> bool:
 
 
 def _conv_parts_kernel(sig_ref, xw_ref, m_ref, proj_ref, oc_ref, os_ref,
-                       *, precision):
-    # sincos mode is read at trace time; the conv parts fn's cache is
-    # epoch-keyed so a set_sincos_mode switch retraces this kernel.
+                       *, precision, sincos):
+    # sincos/precision arrive as jit-STATIC arguments resolved by the
+    # un-jitted public wrapper (see ztzv_pallas._ztzv_kernel for why).
     from ..sincos import kernel_sincos
-    pair = kernel_sincos()
+    pair = kernel_sincos(jnp.float32, sincos)
     dot = _make_dot(precision)
     cdims = (((1,), (0,)), ((), ()))
     rd, bw, p = xw_ref.shape
@@ -156,7 +156,6 @@ def _conv_maxpool_kernel(xw_ref, m_ref, proj_ref, out_ref, *, precision):
         out_ref[:] = jnp.maximum(out_ref[:], blockmax)
 
 
-@partial(jax.jit, static_argnames=("width", "num_freqs", "interpret"))
 def conv_maxpool_pallas(x, seq_lengths, proj, width, num_freqs,
                         interpret=False):
     """ReLU + global-maxpool conv SORF features, (N, F) float32.
@@ -164,8 +163,18 @@ def conv_maxpool_pallas(x, seq_lengths, proj, width, num_freqs,
     Same VMEM window loop as conv_parts_pallas with the masked window
     sum replaced by a running elementwise max against a zero-initialised
     output (no sigma, no cos/sin) -- matching
-    ops/conv.py::conv_maxpool_features.
+    ops/conv.py::conv_maxpool_features.  Un-jitted wrapper: the matmul
+    precision is resolved here and passed static (see conv_parts_pallas).
     """
+    from ... import config as _cfg
+    return _conv_maxpool_impl(x, seq_lengths, proj, width, num_freqs,
+                              interpret, _cfg.feature_matmul_precision())
+
+
+@partial(jax.jit, static_argnames=("width", "num_freqs", "interpret",
+                                   "precision"))
+def _conv_maxpool_impl(x, seq_lengths, proj, width, num_freqs,
+                       interpret, precision):
     n, l, d = x.shape
     nw = l - width + 1
     wd = width * d
@@ -196,10 +205,8 @@ def conv_maxpool_pallas(x, seq_lengths, proj, width, num_freqs,
     mask = (widx[None, :] < nk[:, None]).astype(jnp.float32)[:, :, None]
 
     grid = (np_rows // _RD, fp // ft, nwp // bw)
-    from ... import config as _cfg
     out = pl.pallas_call(
-        partial(_conv_maxpool_kernel,
-                precision=_cfg.feature_matmul_precision()),
+        partial(_conv_maxpool_kernel, precision=precision),
         out_shape=jax.ShapeDtypeStruct((np_rows, fp), jnp.float32),
         grid=grid,
         in_specs=[
@@ -217,10 +224,13 @@ def conv_maxpool_pallas(x, seq_lengths, proj, width, num_freqs,
     return out[:n, :num_freqs]
 
 
-@partial(jax.jit, static_argnames=("width", "num_freqs", "interpret"))
 def conv_parts_pallas(x, seq_lengths, proj, sigma, width, num_freqs,
                       interpret=False):
     """Unscaled conv-SORF (cos, sin) parts, each (N, F) frequency-ordered.
+
+    Un-jitted wrapper: the sincos mode and matmul precision are resolved
+    here (at call / outer trace time) and passed to the jitted impl as
+    static arguments, so config switches retrace already-compiled shapes.
 
     Args:
         x: (N, L, D) zero-padded sequences (NOT pre-scaled by sigma).
@@ -236,6 +246,20 @@ def conv_parts_pallas(x, seq_lengths, proj, sigma, width, num_freqs,
         intercept column (the caller applies both; see
         ConvKernelBaseclass.pure_feature_parts_fn).
     """
+    from ... import config as _cfg
+    from ..sincos import sincos_mode
+    sincos = sincos_mode()
+    if sincos == "auto":
+        sincos = "poly"          # trace-identical; keeps the cache key stable
+    return _conv_parts_impl(x, seq_lengths, proj, sigma, width,
+                            num_freqs, interpret, sincos,
+                            _cfg.feature_matmul_precision())
+
+
+@partial(jax.jit, static_argnames=("width", "num_freqs", "interpret",
+                                   "sincos", "precision"))
+def _conv_parts_impl(x, seq_lengths, proj, sigma, width, num_freqs,
+                     interpret, sincos, precision):
     n, l, d = x.shape
     nw = l - width + 1
     wd = width * d
@@ -269,10 +293,8 @@ def conv_parts_pallas(x, seq_lengths, proj, sigma, width, num_freqs,
 
     sig = jnp.asarray(sigma, jnp.float32).reshape(1, 1)
     grid = (np_rows // _RD, fp // ft, nwp // bw)
-    from ... import config as _cfg
     c, s = pl.pallas_call(
-        partial(_conv_parts_kernel,
-                precision=_cfg.feature_matmul_precision()),
+        partial(_conv_parts_kernel, precision=precision, sincos=sincos),
         out_shape=(
             jax.ShapeDtypeStruct((np_rows, fp), jnp.float32),
             jax.ShapeDtypeStruct((np_rows, fp), jnp.float32),

@@ -37,21 +37,22 @@ def pallas_feature_shapes_ok(n, d, num_freqs, padded, dtype) -> bool:
     return True
 
 
-def _feature_kernel(x_ref, proj_ref, out_ref, *, width, scale):
+def _feature_kernel(x_ref, proj_ref, out_ref, *, width, scale, sincos):
     # Inside Pallas use the unguarded polynomial / builtin split directly:
     # the runtime max-|arg| guard (ops/sincos._guarded_poly_sincos) is a
     # lax.cond, which does not belong in a kernel body.  Callers route
-    # extreme-argument workloads through the XLA path.
+    # extreme-argument workloads through the XLA path.  The sincos mode
+    # arrives as a jit-static argument resolved by the un-jitted wrapper
+    # (see ztzv_pallas._ztzv_kernel for why).
     from ..sincos import kernel_sincos
     arg = jnp.dot(x_ref[:], proj_ref[:],
                   preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
-    cosv, sinv = kernel_sincos(arg.dtype)(arg, jnp.float32(scale))
+    cosv, sinv = kernel_sincos(arg.dtype, sincos)(arg, jnp.float32(scale))
     out_ref[:, :width] = cosv
     out_ref[:, width:] = sinv
 
 
-@partial(jax.jit, static_argnames=("fit_intercept", "padded", "interpret"))
 def rbf_feature_map_pallas(x, proj, fit_intercept, padded,
                            interpret=False):
     """Fused equivalent of ops.sorf.rbf_feature_map_dense.
@@ -62,7 +63,22 @@ def rbf_feature_map_pallas(x, proj, fit_intercept, padded,
             of proj, so results are unchanged only if proj is padded too;
             use ``pad_operands`` below).
         proj: (D, F) dense projection with chi folded in.
+
+    Un-jitted wrapper: the sincos mode is resolved here and passed
+    static so config switches retrace already-compiled shapes.
     """
+    from ..sincos import sincos_mode
+    sincos = sincos_mode()
+    if sincos == "auto":
+        sincos = "poly"          # trace-identical; keeps the cache key stable
+    return _rbf_feature_map_impl(x, proj, fit_intercept, padded,
+                                 interpret, sincos)
+
+
+@partial(jax.jit, static_argnames=("fit_intercept", "padded", "interpret",
+                                   "sincos"))
+def _rbf_feature_map_impl(x, proj, fit_intercept, padded, interpret,
+                          sincos):
     n, d = x.shape
     num_freqs = proj.shape[1]
     width = min(num_freqs, padded)
@@ -80,7 +96,8 @@ def rbf_feature_map_pallas(x, proj, fit_intercept, padded,
 
     grid = (n_padded // tile_rows, nblocks)
     out = pl.pallas_call(
-        partial(_feature_kernel, width=width, scale=np.float32(scale)),
+        partial(_feature_kernel, width=width, scale=np.float32(scale),
+                sincos=sincos),
         out_shape=jax.ShapeDtypeStruct((n_padded, 2 * num_freqs),
                                        jnp.float32),
         grid=grid,

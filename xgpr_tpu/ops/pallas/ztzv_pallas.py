@@ -30,9 +30,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..sincos import _poly_sincos
-
 _VMEM_BUDGET = 12 * 1024 * 1024
+
+# Schedule variant for on-chip A/B runs (scripts/ztzv_split_bench.py).
+# The measured matvec sits at bound + ~0.45 * vpu_time (BENCH roofline),
+# i.e. about half the sincos cost is NOT hidden behind the matmuls;
+# splitting the tile into two independent MXU/VPU chains gives the
+# Mosaic VLIW scheduler concurrent work for both units.
+#   "none"  -- one contiguous chain (shipping default).
+#   "rows"  -- two half-ROW chains.  Measured 19% WORSE on-chip: halving
+#              the matmul M dim (128 -> 64) costs more MXU efficiency
+#              than the interleave recovers.
+#   "freqs" -- two half-FREQUENCY chains: matmul M stays 128; the
+#              projection splits along output columns, each half runs
+#              its own sincos and zv partial, and the oc/os dots write
+#              disjoint output rows.
+_SPLIT = "none"
 
 
 def _round_up(x, m):
@@ -92,25 +105,65 @@ def _make_dot(precision):
 
 
 def _ztzv_kernel(sig_ref, x_ref, m_ref, proj_ref, vc_ref, vs_ref,
-                 oc_ref, os_ref, *, scale, intercept, precision):
-    # sincos mode is read at trace time; callers' caches are
-    # config-epoch-keyed so mode switches retrace.
+                 oc_ref, os_ref, *, scale, intercept, precision, sincos,
+                 split):
+    # sincos/precision arrive as jit-STATIC arguments resolved by the
+    # un-jitted public wrapper below: reading config inside this body
+    # would freeze the first-traced mode for every later same-shape call
+    # (the module-level jit cache is keyed on shapes, not config epoch).
     from ..sincos import kernel_sincos
-    pair = kernel_sincos()
+    pair = kernel_sincos(jnp.float32, sincos)
     dot = _make_dot(precision)
     cdims = (((1,), (0,)), ((), ()))     # rows x cols contraction
     tdims = (((0,), (0,)), ((), ()))     # contract over the row axis
-    arg = dot(x_ref[:], proj_ref[:], cdims) * sig_ref[0, 0]
-    # scale * row-mask folded into ONE per-element multiply (the fast
-    # path folds it into the polynomial's own trailing multiplies).
+
     mb = m_ref[:]
-    c, s = pair(arg, mb * scale)
-    if intercept:
-        col = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
-        c = jnp.where(col == 0, mb, c)
-    zv = dot(c, vc_ref[:], cdims) + dot(s, vs_ref[:], cdims)
-    oc_inc = dot(c, zv, tdims)
-    os_inc = dot(s, zv, tdims)
+
+    def parts(proj, first):
+        """cos/sin parts for a slice of the frequency axis."""
+        arg = dot(x_ref[:], proj, cdims) * sig_ref[0, 0]
+        # scale * row-mask folded into ONE per-element multiply (the
+        # fast path folds it into the polynomial's trailing multiplies).
+        c, s = pair(arg, mb * scale)
+        if intercept and first:
+            col = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+            c = jnp.where(col == 0, mb, c)
+        return c, s
+
+    fp = proj_ref.shape[1]
+    if split == "freqs" and fp % 2 == 0:
+        # Two independent MXU/VPU chains (matmul M stays the full tile);
+        # the zv partials sum and the oc/os dots write disjoint rows.
+        h = fp // 2
+        ca, sa = parts(proj_ref[:, :h], True)
+        cb, sb = parts(proj_ref[:, h:], False)
+        zv = (dot(ca, vc_ref[:h], cdims) + dot(sa, vs_ref[:h], cdims) +
+              dot(cb, vc_ref[h:], cdims) + dot(sb, vs_ref[h:], cdims))
+        oc_inc = jnp.concatenate([dot(ca, zv, tdims),
+                                  dot(cb, zv, tdims)], axis=0)
+        os_inc = jnp.concatenate([dot(sa, zv, tdims),
+                                  dot(sb, zv, tdims)], axis=0)
+    elif split == "rows" and x_ref.shape[0] % 2 == 0:
+        h = x_ref.shape[0] // 2
+
+        def half(x, m):
+            arg = dot(x, proj_ref[:], cdims) * sig_ref[0, 0]
+            c, s = pair(arg, m * scale)
+            if intercept:
+                col = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+                c = jnp.where(col == 0, m, c)
+            zv = dot(c, vc_ref[:], cdims) + dot(s, vs_ref[:], cdims)
+            return dot(c, zv, tdims), dot(s, zv, tdims)
+
+        oc_a, os_a = half(x_ref[:h], mb[:h])
+        oc_b, os_b = half(x_ref[h:], mb[h:])
+        oc_inc = oc_a + oc_b
+        os_inc = os_a + os_b
+    else:
+        c, s = parts(proj_ref[:], True)
+        zv = dot(c, vc_ref[:], cdims) + dot(s, vs_ref[:], cdims)
+        oc_inc = dot(c, zv, tdims)
+        os_inc = dot(s, zv, tdims)
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -124,8 +177,6 @@ def _ztzv_kernel(sig_ref, x_ref, m_ref, proj_ref, vc_ref, vs_ref,
         os_ref[:] = os_ref[:] + os_inc
 
 
-@partial(jax.jit,
-         static_argnames=("fit_intercept", "num_freqs", "interpret"))
 def ztzv_parts_pallas(x, m, proj, sigma, v_c, v_s, fit_intercept,
                       num_freqs, interpret=False):
     """Fused chunk matvec: returns (oc, os), each (num_freqs, K).
@@ -137,7 +188,28 @@ def ztzv_parts_pallas(x, m, proj, sigma, v_c, v_s, fit_intercept,
         sigma: scalar lengthscale (traced).
         v_c / v_s: (F, K) cos/sin slices of the CG direction.
         fit_intercept: static; canonical column 0 == 1.
+
+    Not itself jitted: config modes are resolved HERE (at call / outer
+    trace time) and passed to the jitted impl as static arguments, so a
+    set_sincos_mode / set_speed_preset switch retraces even for shapes
+    the impl has already compiled.
     """
+    from ... import config as _cfg
+    from ..sincos import sincos_mode
+    sincos = sincos_mode()
+    if sincos == "auto":
+        sincos = "poly"          # trace-identical; keeps the cache key stable
+    return _ztzv_parts_impl(x, m, proj, sigma, v_c, v_s,
+                            fit_intercept, num_freqs, interpret,
+                            sincos, _cfg.feature_matmul_precision(),
+                            _SPLIT)
+
+
+@partial(jax.jit,
+         static_argnames=("fit_intercept", "num_freqs", "interpret",
+                          "sincos", "precision", "split"))
+def _ztzv_parts_impl(x, m, proj, sigma, v_c, v_s, fit_intercept,
+                     num_freqs, interpret, sincos, precision, split):
     from ..sorf import rbf_norm_constant
     n, d = x.shape
     dp = _round_up(d, 128)
@@ -167,10 +239,9 @@ def ztzv_parts_pallas(x, m, proj, sigma, v_c, v_s, fit_intercept,
     sig = jnp.asarray(sigma, jnp.float32).reshape(1, 1)
 
     grid = (np_rows // r,)
-    from ... import config as _cfg
     oc, os_ = pl.pallas_call(
         partial(_ztzv_kernel, scale=scale, intercept=fit_intercept,
-                precision=_cfg.feature_matmul_precision()),
+                precision=precision, sincos=sincos, split=split),
         out_shape=(
             jax.ShapeDtypeStruct((fp, k), jnp.float32),
             jax.ShapeDtypeStruct((fp, k), jnp.float32),

@@ -151,15 +151,21 @@ def _guarded_poly_sincos(x: jnp.ndarray, poly=_poly_sincos):
     return jax.lax.cond(big, exact, poly, x)
 
 
-def kernel_sincos(dtype=jnp.float32):
-    """The unguarded (cos, sin) pair evaluator for the current config
-    mode, selected at trace time -- what the fused Pallas kernels embed
-    (a lax.cond guard does not belong in a kernel body; callers gate
-    extreme-argument workloads onto the XLA path instead).  The returned
-    fn takes an optional ``w`` multiplier (see _fast_sincos); the exact
-    and cephes paths apply it with one multiply per output.
+def kernel_sincos(dtype=jnp.float32, mode=None):
+    """The unguarded (cos, sin) pair evaluator for a sincos mode
+    (default: the current config mode) -- what the fused Pallas kernels
+    embed (a lax.cond guard does not belong in a kernel body; callers
+    gate extreme-argument workloads onto the XLA path instead).  The
+    returned fn takes an optional ``w`` multiplier (see _fast_sincos);
+    the exact and cephes paths apply it with one multiply per output.
+
+    Pallas wrappers must pass ``mode`` explicitly as a jit-static
+    argument: a module-level jit caches traces by shape, so a mode read
+    from config inside the traced body would be silently frozen at
+    first-trace time for every later same-shape call.
     """
-    mode = sincos_mode()
+    if mode is None:
+        mode = sincos_mode()
     if mode == "fast" and dtype == jnp.float32:
         return _fast_sincos
 

@@ -92,8 +92,11 @@ class ShardedEngine:
         self._y = host_local_stack_to_global(
             np.stack(ys).astype(np.int32 if self.is_classification
                                 else dt), self.mesh)
-        self._m = host_local_stack_to_global(
-            np.stack(ms).astype(dt), self.mesh)
+        # Host copy of the LOCAL mask shard: subsampling reads mask
+        # values, and np.asarray on the global array would raise on
+        # multi-host runs (non-addressable shards).
+        self._m_host = np.stack(ms).astype(dt)
+        self._m = host_local_stack_to_global(self._m_host, self.mesh)
         if not has_l:
             # Fixed-vector kernels ignore seq_len; a dummy keeps every
             # shard_map signature uniform.
@@ -359,15 +362,21 @@ class ShardedEngine:
         if row_keep_prob is None or row_keep_prob >= 1.0:
             return self._m
         from ..utils import rng as state_rng
+        from .distributed import host_local_stack_to_global
+        # Work on the LOCAL host shard (the global array's values are
+        # not addressable from one process on multi-host runs) and
+        # assemble the keep mask globally the same way the mask stack
+        # itself was.  Each host draws from its own identically-seeded
+        # stream over its own batches; the subsample is an estimator, so
+        # host-count invariance is not required (the reference's
+        # per-chunk sampling has the same property).
         rng = np.random.default_rng(seed)
-        m_host = np.asarray(self._m)
+        m_host = self._m_host
         keep = np.stack([
             state_rng.exact_count_keep_mask(row, row_keep_prob, rng)
             for row in m_host.reshape(m_host.shape[0], -1)
-        ]).reshape(m_host.shape)
-        return self._m * jax.device_put(
-            jnp.asarray(keep, self._m.dtype),
-            NamedSharding(self.mesh, P(DATA_AXIS)))
+        ]).reshape(m_host.shape).astype(m_host.dtype)
+        return self._m * host_local_stack_to_global(keep, self.mesh)
 
     def sketch(self, srht_radem, sample_idx, with_zty=True,
                row_keep_prob=None, seed=123):

@@ -74,10 +74,10 @@ class StreamingShardedEngine(ShardedEngine):
         superbatches up to the global maximum instead of deadlocking in
         a rendezvous.
         """
-        local_rows, local_batches = 0.0, 0
-        for _, _, _, mb in self.dataset.padded_batches(with_y=False):
-            local_rows += float(np.sum(mb))
-            local_batches += 1
+        # Both quantities are dataset metadata (builder-computed row
+        # count; one padded batch per chunk) -- no data pass needed.
+        local_rows = float(self.dataset.get_ndatapoints())
+        local_batches = self.dataset.get_n_batches()
         local_steps = -(-local_batches // self._local_steps)
         from .distributed import host_local_stack_to_global
         from jax import shard_map as _sm

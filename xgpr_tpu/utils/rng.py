@@ -91,11 +91,12 @@ def exact_count_keep_mask(mask, keep_frac: float, rng) -> np.ndarray:
     directly perturbs the estimate.  ``mask`` marks real (non-padding)
     rows of a fixed-shape chunk; only those are sampled from.
     """
-    real = np.flatnonzero(np.asarray(mask) > 0)
+    mask = np.asarray(mask)   # callers pass host arrays; one conversion
+    real = np.flatnonzero(mask > 0)
+    keep = np.zeros(mask.shape[0], dtype=np.float64)
     if real.size == 0:
-        return np.zeros(np.asarray(mask).shape[0], dtype=np.float64)
+        return keep
     cutoff = max(int(keep_frac * real.size), 1)
     sel = rng.permutation(real.size)[:cutoff]
-    keep = np.zeros(np.asarray(mask).shape[0], dtype=np.float64)
     keep[real[sel]] = 1.0
     return keep
