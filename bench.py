@@ -234,7 +234,7 @@ def _roofline(device, chunk=8192, d=256, num_rffs=8192, n_rhs=8,
     readings swung 48-81% through the relay; 7 medians stabilise it)."""
     import jax
     import jax.numpy as jnp
-    from xgpr_tpu.ops.sincos import _poly_sincos
+    from xgpr_tpu.ops.sincos import kernel_sincos
     f = num_rffs // 2
     rng = np.random.default_rng(3)
     x = jax.device_put(jnp.asarray(rng.standard_normal(
@@ -270,7 +270,7 @@ def _roofline(device, chunk=8192, d=256, num_rffs=8192, n_rhs=8,
         # the elementwise mask/scale work of the real kernel.
         def body(acc, xb):
             arg = jnp.matmul(xb, proj, precision=jax.lax.Precision.DEFAULT)
-            c, s = _poly_sincos(arg)
+            c, s = kernel_sincos(jnp.float32)(arg)
             return acc + jnp.sum(c * 0.01) + jnp.sum(s * 0.01), None
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), x)
         return acc
@@ -343,7 +343,7 @@ def _conv_roofline(device, chunk=2048, l=128, d=21, width=9,
     import jax
     import jax.numpy as jnp
     from xgpr_tpu.kernels import KERNEL_NAME_TO_CLASS
-    from xgpr_tpu.ops.sincos import _poly_sincos
+    from xgpr_tpu.ops.sincos import kernel_sincos
 
     f = num_rffs // 2
     nw = l - width + 1
@@ -388,7 +388,7 @@ def _conv_roofline(device, chunk=2048, l=128, d=21, width=9,
             xw = patches(xb).reshape(chunk * nw, wd)
             arg = jnp.matmul(xw, proj,
                              precision=jax.lax.Precision.DEFAULT)
-            c, s = _poly_sincos(arg)
+            c, s = kernel_sincos(jnp.float32)(arg)
             cs = jnp.sum(c.reshape(chunk, nw, f), axis=1)
             ss = jnp.sum(s.reshape(chunk, nw, f), axis=1)
             return acc + jnp.sum(cs * 0.01) + jnp.sum(ss * 0.01), None

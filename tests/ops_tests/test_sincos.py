@@ -36,10 +36,11 @@ def test_sincos_dispatch():
     c64, s64 = sincos(x64)
     assert np.array_equal(np.asarray(c64), np.asarray(jnp.cos(x64)))
     assert np.array_equal(np.asarray(s64), np.asarray(jnp.sin(x64)))
-    # auto: fp32 takes the polynomial (modulo fusion-level ULP noise from
-    # the guard's lax.cond branch compilation).
+    # auto: fp32 takes the full-period polynomial (modulo fusion-level
+    # ULP noise from the guard's lax.cond branch compilation).
+    from xgpr_tpu.ops.sincos import _hi_sincos
     c32, s32 = sincos(x32)
-    cp, sp = _poly_sincos(x32)
+    cp, sp = _hi_sincos(x32)
     assert np.allclose(np.asarray(c32), np.asarray(cp), atol=1e-6)
     assert np.allclose(np.asarray(s32), np.asarray(sp), atol=1e-6)
     # exact mode forces the builtin even in fp32.
@@ -73,6 +74,30 @@ def test_poly_sincos_pythagorean_and_shape():
     assert c.shape == x.shape and s.shape == x.shape
     assert np.max(np.abs(np.asarray(c) ** 2 + np.asarray(s) ** 2 - 1.0)) \
         < 1e-6
+
+
+def test_hi_sincos_accuracy_fp32():
+    """The default ("auto"/"hi") full-period deg-13/14 pair: fp32 Horner
+    rounding floors the error at ~6e-7 -- a few ULP of a unit-magnitude
+    result, >1000x inside the 1e-3 feature contract."""
+    from xgpr_tpu.ops.sincos import _hi_sincos
+    rng = np.random.default_rng(7)
+    x = np.concatenate([
+        rng.uniform(-3.0, 3.0, 20000),
+        rng.uniform(-120.0, 120.0, 20000),
+        rng.uniform(-8000.0, 8000.0, 20000),
+        np.pi * np.arange(-64, 64) + rng.normal(0, 1e-4, 128),
+        np.array([0.0, np.pi, -np.pi, np.pi / 2, -np.pi / 2]),
+    ]).astype(np.float32)
+    cosv, sinv = _hi_sincos(jnp.asarray(x))
+    x64 = x.astype(np.float64)
+    assert np.max(np.abs(np.asarray(cosv) - np.cos(x64))) < 1e-6
+    assert np.max(np.abs(np.asarray(sinv) - np.sin(x64))) < 1e-6
+    # folded multiplier form
+    w = jnp.float32(0.25)
+    cw, sw = _hi_sincos(jnp.asarray(x), w)
+    assert np.allclose(np.asarray(cw), np.asarray(cosv) * 0.25, atol=1e-6)
+    assert np.allclose(np.asarray(sw), np.asarray(sinv) * 0.25, atol=1e-6)
 
 
 def test_fast_sincos_accuracy_fp32():

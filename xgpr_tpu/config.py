@@ -251,19 +251,20 @@ def feature_map_mode() -> str:
 
 # ----------------------------------------------------------------------
 # sin/cos evaluation in the feature maps (see ops/sincos.py).  "auto"
-# (default) uses the fast shared-reduction polynomial for float32 and the
-# exact builtin for float64; "exact"/"poly" force one path; "fast" uses
-# the half-cost full-period polynomial pair (max err 4.1e-5 -- inside
-# the 1e-3 fp32 feature contract) for throughput-critical float32 fits.
-# Read at trace time.
+# (default, alias "hi") uses the full-period deg-13/14 polynomial pair
+# for float32 (max err ~6e-7, no quadrant logic) and the exact builtin
+# for float64; "exact" forces the builtin; "poly" keeps the legacy
+# quadrant-folded cephes evaluator; "fast" uses the half-cost low-degree
+# pair (max err 4.1e-5 -- inside the 1e-3 fp32 feature contract) for
+# throughput-critical float32 fits.  Read at trace time.
 _SINCOS_MODE = "auto"
 
 
 def set_sincos_mode(mode: str):
     _bump_epoch()
     global _SINCOS_MODE
-    if mode not in ("auto", "exact", "poly", "fast"):
-        raise ValueError("sincos mode must be auto, exact, poly or fast")
+    if mode not in ("auto", "exact", "poly", "hi", "fast"):
+        raise ValueError("sincos mode must be auto, exact, poly, hi or fast")
     _SINCOS_MODE = mode
 
 

@@ -8,11 +8,15 @@ projection matmuls are on the MXU (measured: ~4-5 ms of a ~5.6 ms chunk,
 see ROUND_NOTES.md) -- XLA's builtin sine/cosine each perform their own
 wide-range argument reduction and a high-degree polynomial.
 
-``sincos`` instead does ONE shared Cody-Waite quadrant reduction and two
-short minimax polynomials (cephes sinf/cosf coefficients, max error
-~1.2e-7 over the reduced interval -- the same order as fp32 ULP, i.e. no
-worse than the builtin for this use).  It is pure elementwise jnp, so XLA
-fuses it into the surrounding feature-map program; no Pallas needed.
+``sincos`` instead does ONE shared Cody-Waite reduction by whole periods
+and two minimax polynomials fitted over the full period (deg 13 sin /
+deg 14 cos; end-to-end fp32 error ~6e-7 -- a few ULP of a
+unit-magnitude result, i.e. no worse than the builtin for this use, and
+>1000x inside the 1e-3 feature contract).  No quadrant bookkeeping at
+all: measured on chip the full-period pair beats the quadrant-folded
+cephes evaluator by 3-5% end-to-end (scripts/sincos_hi_bench.py).  It is
+pure elementwise jnp, so XLA fuses it into the surrounding feature-map
+program; no Pallas needed.
 
 Validity: exact Cody-Waite products require |arg| < ~2^13 (n*DP1 exact in
 fp32).  Feature-map arguments are sigma-scaled SORF projections of
@@ -32,11 +36,13 @@ evaluation scheme is meaningful there and the solver stays deterministic
 and finite either way.
 
 Mode selection: float64 inputs (CPU test runs reproducing the reference's
-fp64 contract) always use the exact builtin; float32 uses the polynomial
-unless ``config.set_sincos_mode("exact")``.  ``set_sincos_mode("fast")``
-swaps in the half-cost full-period polynomial pair (max error 4.1e-5,
-still inside the library's 1e-3 fp32 feature contract; see the "fast"
-section below) for throughput-critical fits.
+fp64 contract) always use the exact builtin; float32 uses the full-period
+polynomial unless ``config.set_sincos_mode("exact")``.
+``set_sincos_mode("fast")`` swaps in the half-cost low-degree pair (max
+error 4.1e-5, still inside the library's 1e-3 fp32 feature contract; see
+the "fast" section below) for throughput-critical fits;
+``set_sincos_mode("poly")`` keeps the legacy quadrant-folded cephes
+evaluator (max error ~1.2e-7, ~50% more VPU ops than "auto").
 """
 import numpy as np
 import jax.numpy as jnp
@@ -133,6 +139,45 @@ def _fast_sincos(x: jnp.ndarray, w=None):
     return cp * w, sp * (r * w)
 
 
+# ----------------------------------------------------------------------
+# "hi" evaluator: the fast path's full-period structure (no quadrant
+# bookkeeping at all) at near-builtin accuracy, via higher-degree
+# polynomials (deg 13 sin / deg 14 cos, minimax error ~1e-9).  In fp32
+# the Horner evaluation's own rounding floors the end-to-end error at
+# ~4.2e-7 (cos) / ~6.2e-7 (sin) -- measured over |x| < 8192, flat in
+# degree from 11 up (scripts/fit_fast_sincos.py --hi) -- i.e. a few fp32
+# ULP of a unit-magnitude result and >1000x inside the 1e-3 feature
+# contract.  Cost: ~21 VPU ops per (cos, sin) pair vs ~33 for the
+# quadrant-folded cephes path (the int casts, bitmasks and 4 selects all
+# disappear), which matters on the VPU-bound conv kernels.
+
+_HS = (1.3451442737455466e-10, -2.4676957366409624e-08,
+       2.752945192696643e-06, -0.0001984015543712303,
+       0.00833331048488617, -0.166666641831398, 1.0)
+_HC = (-9.758583698060708e-12, 2.061550263832146e-09,
+       -2.753634191776655e-07, 2.480065268173348e-05,
+       -0.0013888865942135453, 0.0416666641831398, -0.5, 1.0)
+
+
+def _hi_sincos(x: jnp.ndarray, w=None):
+    """(cos x, sin x): full-period reduction + deg-13/14 minimax, no
+    quadrant logic.  ``w`` folds a per-row multiplier like _fast_sincos."""
+    dt = x.dtype
+    n = jnp.round(x * np.asarray(1.0 / (2.0 * np.pi), dt))
+    r = x - n * np.asarray(_TP1, dt)
+    r = r - n * np.asarray(_TP2, dt)
+    z = r * r
+    sp = np.asarray(_HS[0], dt)
+    for c in _HS[1:]:
+        sp = sp * z + np.asarray(c, dt)
+    cp = np.asarray(_HC[0], dt)
+    for c in _HC[1:]:
+        cp = cp * z + np.asarray(c, dt)
+    if w is None:
+        return cp, sp * r
+    return cp * w, sp * (r * w)
+
+
 # Cody-Waite reduction is exact while n = round(2x/pi) fits DP1's 12-bit
 # mantissa; beyond |x| ~ 2^13 the n*DP1 product rounds and r drifts.
 _POLY_ARG_LIMIT = 8192.0
@@ -175,10 +220,18 @@ def kernel_sincos(dtype=jnp.float32, mode=None):
             return (c, s) if w is None else (c * w, s * w)
         return pair
 
-    def pair(x, w=None):
-        c, s = _poly_sincos(x)
-        return (c, s) if w is None else (c * w, s * w)
-    return pair
+    if mode == "poly":
+        # Legacy quadrant-folded cephes evaluator (explicit opt-in).
+        def pair(x, w=None):
+            c, s = _poly_sincos(x)
+            return (c, s) if w is None else (c * w, s * w)
+        return pair
+
+    # "auto" / "hi": the full-period deg-13/14 pair -- measured on chip
+    # (scripts/sincos_hi_bench.py, 2026-08-20) +2.8% on the fused matvec
+    # and +4.9% on the conv design pass over the quadrant path, at the
+    # same order of accuracy.
+    return _hi_sincos
 
 
 def sincos(x: jnp.ndarray):
@@ -191,8 +244,8 @@ def sincos(x: jnp.ndarray):
     if mode == "poly":
         return _poly_sincos(x)
     if x.dtype == jnp.float32:
-        if mode == "auto":
-            return _guarded_poly_sincos(x)
+        if mode in ("auto", "hi"):
+            return _guarded_poly_sincos(x, _hi_sincos)
         if mode == "fast":
             return _guarded_poly_sincos(x, _fast_sincos)
     return jnp.cos(x), jnp.sin(x)
