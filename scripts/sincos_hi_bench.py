@@ -36,7 +36,7 @@ def main():
     for mode in ("auto", "hi", "fast"):
         cfg.set_sincos_mode(mode)
         rate = bench._matvec_rate(dev, repeats=7)
-        ms = 8192 * 4096 / rate * 1e3
+        ms = 8192 * 8192 / rate * 1e3  # per 8192-row chunk, 8192 RFFs
         out[f"matvec sincos={mode}"] = {"features_per_sec": rate,
                                         "chunk_ms": ms}
         print(f"matvec sincos={mode}: {rate:.3e} f/s ({ms:.3f} ms/chunk)",

@@ -45,7 +45,7 @@ def main():
             zp._SPLIT = split
             rate = bench._matvec_rate(dev, repeats=7)
             key = f"sincos={sincos_mode} split={split}"
-            ms = 8192 * 4096 / rate * 1e3  # per chunk
+            ms = 8192 * 8192 / rate * 1e3  # per 8192-row chunk, 8192 RFFs
             out[key] = {"features_per_sec": rate, "chunk_ms": ms}
             print(f"{key}: {rate:.3e} f/s  ({ms:.3f} ms/chunk)",
                   flush=True)
