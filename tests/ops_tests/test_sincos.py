@@ -192,3 +192,28 @@ def test_mode_switch_retraces_jitted_pallas_wrappers():
     # The fast pair differs from exact by up to ~4.1e-5 elementwise;
     # identical output means the stale trace was reused.
     assert 0.0 < delta < 1e-3
+
+
+def test_pallas_wrappers_auto_aliases_hi():
+    """Regression: the Pallas wrappers normalise mode "auto" to a
+    concrete evaluator name for a stable jit cache key -- that name must
+    track the default ("hi", since the deg-13/14 promotion), not the
+    legacy "poly" it used to be, or default-config users silently run
+    the old evaluator."""
+    from xgpr_tpu.ops.pallas.sorf_pallas import rbf_feature_map_pallas
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((128, 128)) * 2.0,
+                    dtype=jnp.float32)
+    proj = jnp.asarray(rng.standard_normal((128, 256)),
+                       dtype=jnp.float32)
+    outs = {}
+    try:
+        for mode in ("auto", "hi", "poly"):
+            config.set_sincos_mode(mode)
+            outs[mode] = np.asarray(rbf_feature_map_pallas(
+                x, proj, False, 256, interpret=True))
+    finally:
+        config.set_sincos_mode("auto")
+    assert np.array_equal(outs["auto"], outs["hi"])
+    assert np.abs(outs["auto"] - outs["poly"]).max() > 0.0

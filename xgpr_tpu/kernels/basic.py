@@ -141,8 +141,11 @@ class SORFKernelBaseclass(KernelBaseclass):
         x = np.asarray(input_x)
         if x.ndim != 2:
             return False
-        row_norm = float(np.sqrt(np.max(np.sum(
-            x.astype(np.float64) ** 2, axis=1))))
+        # einsum with a forced accumulator dtype upcasts through its
+        # buffered iterator -- no full float64 copy of a large predict
+        # input is ever materialised.
+        row_norm = float(np.sqrt(np.max(np.einsum(
+            "ij,ij->i", x, x, dtype=np.float64))))
         sigma = float(self.hyperparams[1])  # stored linear
         return abs(sigma) * row_norm * cached[1] < 0.9 * _POLY_ARG_LIMIT
 

@@ -250,7 +250,7 @@ def conv_parts_pallas(x, seq_lengths, proj, sigma, width, num_freqs,
     from ..sincos import sincos_mode
     sincos = sincos_mode()
     if sincos == "auto":
-        sincos = "poly"          # trace-identical; keeps the cache key stable
+        sincos = "hi"            # trace-identical; keeps the cache key stable
     return _conv_parts_impl(x, seq_lengths, proj, sigma, width,
                             num_freqs, interpret, sincos,
                             _cfg.feature_matmul_precision())

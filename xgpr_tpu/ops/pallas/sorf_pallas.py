@@ -70,7 +70,7 @@ def rbf_feature_map_pallas(x, proj, fit_intercept, padded,
     from ..sincos import sincos_mode
     sincos = sincos_mode()
     if sincos == "auto":
-        sincos = "poly"          # trace-identical; keeps the cache key stable
+        sincos = "hi"            # trace-identical; keeps the cache key stable
     return _rbf_feature_map_impl(x, proj, fit_intercept, padded,
                                  interpret, sincos)
 

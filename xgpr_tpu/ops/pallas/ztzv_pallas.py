@@ -198,7 +198,7 @@ def ztzv_parts_pallas(x, m, proj, sigma, v_c, v_s, fit_intercept,
     from ..sincos import sincos_mode
     sincos = sincos_mode()
     if sincos == "auto":
-        sincos = "poly"          # trace-identical; keeps the cache key stable
+        sincos = "hi"            # trace-identical; keeps the cache key stable
     return _ztzv_parts_impl(x, m, proj, sigma, v_c, v_s,
                             fit_intercept, num_freqs, interpret,
                             sincos, _cfg.feature_matmul_precision(),
