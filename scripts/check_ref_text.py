@@ -12,6 +12,9 @@ source tree.  Run from the repo root:
 
 Exit code 0 = clean, 1 = shared text found.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import ast
 import os
 import re

@@ -5,6 +5,9 @@ one lax.conv_general_dilated on the MXU, ops/conv.py) inside the same
 streamed design-matrix reduction shape a fit uses.  Reports window-features
 per second (rows x kmers x num_freqs / sec).
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import time
 

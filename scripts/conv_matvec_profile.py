@@ -7,6 +7,9 @@ completion) for a 1M-point-fit-like chunk shape:
   parts    -- full Z^T(Zv) matvec via the layout-free parts path
   feats    -- full Z^T(Zv) via canonical features (assembled layout)
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import time
 

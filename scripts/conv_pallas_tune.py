@@ -8,6 +8,9 @@ Usage: python scripts/conv_pallas_tune.py VARIANT
   rd8bw8      -- RD8/BW8/FT2048
   exact_sc    -- builtin sin/cos instead of the polynomial (isolates VPU)
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import sys
 import time

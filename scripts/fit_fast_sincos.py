@@ -21,6 +21,9 @@ Run: python scripts/fit_fast_sincos.py [--hi]
 Prints the coefficient tuples and an end-to-end simulated-fp32 error
 sweep across the validity range |x| < 8192.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 
 

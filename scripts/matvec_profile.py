@@ -7,6 +7,9 @@ completion) for the bench shapes:
   xla      -- full Z^T(Zv) matvec, XLA parts path
   pallas   -- full Z^T(Zv) matvec, fused Pallas kernel
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import time
 

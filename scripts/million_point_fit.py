@@ -8,6 +8,9 @@ pod slice the sharded engine picks up automatically.
 
     python scripts/million_point_fit.py --rows 1000000 --num-rffs 8192
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import time
 

@@ -5,6 +5,9 @@ set_fast_features) over the headline bench's matvec program to pick
 defaults.  Each variant is a new HLO (slow remote compile on first run;
 cached afterwards).
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 
 

@@ -8,6 +8,9 @@ environment's single-TPU-chip + virtual-CPU setup, run it with:
 
 On a real pod slice, run it unmodified (defaults to all local devices).
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import json
 import time

@@ -10,6 +10,9 @@ runs at memory speed.  The point of the measurement is that the fit
 COMPLETES correctly with the dataset outside device memory and to record
 pass/iteration wall times.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import json
 import time

@@ -5,6 +5,9 @@ NMLL evaluation on a synthetic tabular problem.
 
     python scripts/tune_bench.py --rows 100000 --num-rffs 2048
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import json
 import time
