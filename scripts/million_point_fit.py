@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--conv", action="store_true",
                     help="use Conv1dRBF on synthetic sequences")
     ap.add_argument("--backend", default=None)
+    ap.add_argument("--stacked", action="store_true",
+                    help="raise the stacked limit so the dataset is "
+                         "held device-resident (needs the HBM headroom)")
     args = ap.parse_args()
 
     import jax
@@ -36,6 +39,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import numpy as np
     from xgpr_tpu import GPRegression, build_regression_dataset
+    if args.stacked:
+        from xgpr_tpu import config as xcfg
+        xcfg.set_stacked_limit(4 * 10 ** 9)
 
     rng = np.random.default_rng(0)
     t0 = time.time()

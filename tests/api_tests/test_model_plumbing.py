@@ -150,3 +150,28 @@ def test_speed_presets_set_and_restore_knobs():
         cfg.set_speed_preset("balanced")
     assert cfg.sincos_mode() == "auto"
     assert cfg.feature_precision() in ("high", "highest")
+
+
+def test_stacked_limit_knob_controls_engine_storage():
+    """config.set_stacked_limit decides device-resident vs out-of-core
+    storage for the single-device Engine, and the model's engine cache
+    must not reuse an engine of the old kind after the knob changes."""
+    from xgpr_tpu import config as cfg
+    from xgpr_tpu.fitting.engine import Engine
+
+    (trx, tr_y), _ = tabular_data(n_train=300)
+    dset = build_regression_dataset(trx, tr_y, chunk_size=150)
+    model = GPRegression(num_rffs=128, kernel_choice="RBF", verbose=False)
+    model.set_hyperparams(HPARAMS, dset)
+    try:
+        assert Engine(model.kernel, dset).mode == "stacked"
+        eng_before = model._engine(dset)
+        cfg.set_stacked_limit(1)
+        assert Engine(model.kernel, dset).mode == "streaming"
+        eng_after = model._engine(dset)
+        assert eng_after is not eng_before
+        import pytest
+        with pytest.raises(ValueError):
+            cfg.set_stacked_limit(0)
+    finally:
+        cfg.set_stacked_limit(10 ** 9)

@@ -1,7 +1,7 @@
 """Out-of-core streaming on a mesh: StreamingShardedEngine must reproduce
 single-device and stacked-sharded results exactly while never holding the
 dataset resident on device, and a model-level fit routed through it (as
-happens when a dataset exceeds _STACKED_ELEMENT_LIMIT) must match the
+happens when a dataset exceeds config's stacked limit) must match the
 single-device fit.  Mirrors the reference's out-of-core path
 (offline_data_handling.py:73-108, cg_tools.py:26-53) on the virtual
 8-device mesh."""
@@ -130,7 +130,7 @@ def test_model_fit_routes_streaming_when_too_big(monkeypatch):
     try:
         ref_model = run_fit()
         # Force the "too big to stack" branch on the mesh.
-        monkeypatch.setattr(eng, "_STACKED_ELEMENT_LIMIT", 1)
+        monkeypatch.setattr(xcfg, "_STACKED_ELEMENT_LIMIT", 1)
         monkeypatch.setattr(bc, "Engine", eng.Engine)
         xcfg.set_engine_mode("sharded")
         model = run_fit()
@@ -245,7 +245,7 @@ def test_single_device_out_of_core_routes_streaming(monkeypatch):
     xcfg.set_engine_mode("single")
     try:
         ref_model = run_fit()
-        monkeypatch.setattr(eng, "_STACKED_ELEMENT_LIMIT", 1)
+        monkeypatch.setattr(xcfg, "_STACKED_ELEMENT_LIMIT", 1)
         model = run_fit()
         engine = next(iter(model._engines.values()))
         assert isinstance(engine, StreamingShardedEngine)

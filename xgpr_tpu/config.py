@@ -312,6 +312,33 @@ def use_m_sharding(num_rffs: int, n_dev: int) -> bool:
 
 
 # ----------------------------------------------------------------------
+# Device-resident ("stacked") vs out-of-core ("streaming") dataset
+# storage.  Stacked mode keeps the raw data in HBM and runs every
+# reduction as one scanned device program -- the fast path; streaming
+# re-feeds superbatches from host per dataset pass.  The default limit
+# (1e9 fp32 elements = 4 GB raw, per device) leaves room for the
+# (chunk, num_rffs) feature workspace on a 16 GB chip; hosts with more
+# HBM per chip (or small num_rffs) can raise it so datasets a little
+# over the line avoid per-pass host transfer entirely.
+_STACKED_ELEMENT_LIMIT = 10 ** 9
+
+
+def set_stacked_limit(n_elements: int):
+    """Max raw x-elements per device stored device-resident; datasets
+    above it stream from host with prefetch."""
+    _bump_epoch()
+    global _STACKED_ELEMENT_LIMIT
+    n_elements = int(n_elements)
+    if n_elements <= 0:
+        raise ValueError("stacked limit must be a positive element count")
+    _STACKED_ELEMENT_LIMIT = n_elements
+
+
+def stacked_element_limit() -> int:
+    return _STACKED_ELEMENT_LIMIT
+
+
+# ----------------------------------------------------------------------
 # Engine selection: "auto" uses the sharded (shard_map + psum) engine when
 # more than one accelerator device is visible; "single" always uses the
 # single-device engine; "sharded" forces the sharded engine (useful for

@@ -20,11 +20,12 @@ import jax.numpy as jnp
 from .. import config
 from ..utils import rng as state_rng
 
-# Stacked mode is used when the raw data fits comfortably on device.
-# 1e9 fp32 elements = 4 GB raw data -- comfortable on a 16 GB chip with
-# room for the (chunk, num_rffs) feature workspace; streaming mode handles
-# anything larger.
-_STACKED_ELEMENT_LIMIT = 10**9
+# Stacked mode is used when the raw data fits comfortably on device;
+# the threshold lives in config (set_stacked_limit) so hosts with more
+# HBM headroom can raise it.  This alias keeps the historical import
+# path working but always defers to config at decision time.
+def _stacked_element_limit():
+    return config.stacked_element_limit()
 
 
 from ..ops.contract import mm as _mm, ztzv_contract as _ztzv_contract
@@ -48,7 +49,7 @@ class Engine:
             n_elements = int(np.prod(dataset.get_xdim()))
             from ..data.dataset import OnlineDataset
             mode = "stacked" if (isinstance(dataset, OnlineDataset)
-                                 and n_elements < _STACKED_ELEMENT_LIMIT) \
+                                 and n_elements < _stacked_element_limit()) \
                 else "streaming"
         self.mode = mode
         self._stacked = None

@@ -67,14 +67,17 @@ class ModelBaseclass:
         multiple accelerator devices are visible (config.should_shard),
         the sharded shard_map+psum engine is used transparently."""
         from .. import config as _config
-        key = (self._dataset_token(dataset), id(self.kernel))
+        # config epoch in the key: engine choice depends on config state
+        # (engine mode, stacked limit), so a mode switch mid-session must
+        # rebuild rather than reuse an engine of the old kind.
+        key = (self._dataset_token(dataset), id(self.kernel),
+               _config.config_epoch())
         engine = self._engines.get(key)
         if engine is None:
             import numpy as _np
-            from ..fitting.engine import _STACKED_ELEMENT_LIMIT
             import jax as _jax
             n_elements = int(_np.prod(dataset.get_xdim()))
-            fits = n_elements < _STACKED_ELEMENT_LIMIT * max(
+            fits = n_elements < _config.stacked_element_limit() * max(
                 1, len(_jax.devices()))
             if _config.should_shard():
                 if fits:
