@@ -120,6 +120,18 @@ def _build_online_dataset(xdata, ydata, sequence_lengths=None,
                          trainy_mean, trainy_std, None)
 
 
+def build_online_dataset(xdata, ydata, sequence_lengths=None,
+                         chunk_size=2000, normalize_y=True,
+                         task_type="regression"):
+    """Validated constructor for an in-memory dataset — the reference's
+    module-level entry point of the same name and signature
+    (dataset_builder.py:123-190), for drop-in migration.  New code should
+    prefer ``build_regression_dataset`` / ``build_classification_dataset``,
+    which route in-memory and file-backed inputs uniformly."""
+    return _build_online_dataset(xdata, ydata, sequence_lengths,
+                                 chunk_size, normalize_y, task_type)
+
+
 def npy_file_shape(npy_file):
     """Shape of a .npy array without loading it
     (dataset_builder.py:440-449)."""
