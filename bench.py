@@ -251,9 +251,10 @@ def _roofline(device, chunk=8192, d=256, num_rffs=8192, n_rhs=8,
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT}[_cfg.feature_precision()]
 
-    def mxu_only(x, proj, v_c, v_s):
+    def mxu_only(s, x, proj, v_c, v_s):
         # Same matmul sequence as the matvec, transcendentals replaced by
         # reuse of the projection output (pure MXU + minimal VPU).
+        proj = proj * s
         def body(acc, xb):
             arg = jnp.matmul(xb, proj, precision=prec)
             zv = jnp.matmul(arg, v_c, precision=prec) + \
@@ -265,9 +266,10 @@ def _roofline(device, chunk=8192, d=256, num_rffs=8192, n_rhs=8,
         (a, b), _ = jax.lax.scan(body, init, x)
         return a + b
 
-    def vpu_only(x, proj):
+    def vpu_only(s, x, proj):
         # One cheap matmul to produce the arg, then the sincos pair and
         # the elementwise mask/scale work of the real kernel.
+        proj = proj * s
         def body(acc, xb):
             arg = jnp.matmul(xb, proj, precision=jax.lax.Precision.DEFAULT)
             c, s = kernel_sincos(jnp.float32)(arg)
@@ -276,12 +278,17 @@ def _roofline(device, chunk=8192, d=256, num_rffs=8192, n_rhs=8,
         return acc
 
     def timed(fn, args):
+        # Distinct scalar input per repeat (CLAUDE.md: the relay
+        # misreports completion on repeated identical dispatches); the
+        # 1e-6 perturbation folds into one elementwise multiply that is
+        # negligible next to the timed matmul/transcendental work.
         jfn = jax.jit(fn, device=device)
-        np.asarray(jfn(*args))
+        np.asarray(jfn(np.float32(1.0), *args))
         ts = []
-        for _ in range(repeats):
+        for i in range(repeats):
+            s = np.float32(1.0 + 1e-6 * (i + 1))
             t0 = time.perf_counter()
-            np.asarray(jfn(*args))
+            np.asarray(jfn(s, *args))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts)) / n_chunks
 
@@ -291,7 +298,8 @@ def _roofline(device, chunk=8192, d=256, num_rffs=8192, n_rhs=8,
     # XLA-achievable matmul probes: the projection's own shallow-k shape
     # vs a deep 4096^3 contraction, both scanned over the same chunks so
     # the dispatch/readback overheads match the bound measurements.
-    def probe_shallow(x, proj):
+    def probe_shallow(s, x, proj):
+        proj = proj * s
         def body(acc, xb):
             return acc + jnp.sum(
                 jnp.matmul(xb, proj, precision=prec) * 1e-4), None
@@ -302,10 +310,10 @@ def _roofline(device, chunk=8192, d=256, num_rffs=8192, n_rhs=8,
     sq = jax.device_put(jnp.asarray(rng.standard_normal(
         (2, deep, deep)).astype(np.float32)), device)
 
-    def probe_deep(sq):
+    def probe_deep(s, sq):
         def body(acc, _):
             return jnp.matmul(acc, sq[1], precision=prec), None
-        acc, _ = jax.lax.scan(body, sq[0], None, length=8)
+        acc, _ = jax.lax.scan(body, sq[0] * s, None, length=8)
         return jnp.sum(acc * 1e-30)
 
     passes = {"highest": 6, "high": 3, "default": 1}[
@@ -375,7 +383,8 @@ def _conv_roofline(device, chunk=2048, l=128, d=21, width=9,
             xb, filter_shape=(width,), window_strides=(1,),
             padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"))
 
-    def mxu_only(x, proj):
+    def mxu_only(s, x, proj):
+        proj = proj * s
         def body(acc, xb):
             xw = patches(xb).reshape(chunk * nw, wd)
             arg = jnp.matmul(xw, proj, precision=prec)
@@ -383,34 +392,38 @@ def _conv_roofline(device, chunk=2048, l=128, d=21, width=9,
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), x)
         return acc
 
-    def vpu_only(x, proj):
+    def vpu_only(s, x, proj):
+        proj = proj * s
         def body(acc, xb):
             xw = patches(xb).reshape(chunk * nw, wd)
             arg = jnp.matmul(xw, proj,
                              precision=jax.lax.Precision.DEFAULT)
-            c, s = kernel_sincos(jnp.float32)(arg)
+            c, s_ = kernel_sincos(jnp.float32)(arg)
             cs = jnp.sum(c.reshape(chunk, nw, f), axis=1)
-            ss = jnp.sum(s.reshape(chunk, nw, f), axis=1)
+            ss = jnp.sum(s_.reshape(chunk, nw, f), axis=1)
             return acc + jnp.sum(cs * 0.01) + jnp.sum(ss * 0.01), None
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), x)
         return acc
 
-    def measured(x, slen, params):
+    def measured(s, x, slen, params):
+        x = x * s
         def body(acc, batch):
             xb, lb = batch
-            c, s = parts_fn(params, xb, lb)
-            return acc + jnp.sum(c * 0.01) + jnp.sum(s * 0.01), None
+            c, s_ = parts_fn(params, xb, lb)
+            return acc + jnp.sum(c * 0.01) + jnp.sum(s_ * 0.01), None
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
                               (x, slen))
         return acc
 
     def timed(fn, args):
+        # Distinct scalar per repeat -- see the matvec roofline's timed().
         jfn = jax.jit(fn, device=device)
-        np.asarray(jfn(*args))
+        np.asarray(jfn(np.float32(1.0), *args))
         ts = []
-        for _ in range(repeats):
+        for i in range(repeats):
+            s = np.float32(1.0 + 1e-6 * (i + 1))
             t0 = time.perf_counter()
-            np.asarray(jfn(*args))
+            np.asarray(jfn(s, *args))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts)) / n_chunks
 

@@ -175,3 +175,26 @@ def test_stacked_limit_knob_controls_engine_storage():
             cfg.set_stacked_limit(0)
     finally:
         cfg.set_stacked_limit(10 ** 9)
+
+
+def test_engine_mode_single_never_routes_to_shard_map():
+    """config documents that engine_mode 'single' always uses the
+    single-device engine: an out-of-core dataset must then run through
+    the plain Engine's streaming loop, not a 1-device-mesh shard_map
+    program."""
+    from xgpr_tpu import config as cfg
+    from xgpr_tpu.fitting.engine import Engine
+
+    (trx, tr_y), _ = tabular_data(n_train=300)
+    dset = build_regression_dataset(trx, tr_y, chunk_size=150)
+    model = GPRegression(num_rffs=128, kernel_choice="RBF", verbose=False)
+    model.set_hyperparams(HPARAMS, dset)
+    try:
+        cfg.set_engine_mode("single")
+        cfg.set_stacked_limit(1)
+        engine = model._engine(dset)
+        assert isinstance(engine, Engine)
+        assert engine.mode == "streaming"
+    finally:
+        cfg.set_engine_mode("auto")
+        cfg.set_stacked_limit(10 ** 9)

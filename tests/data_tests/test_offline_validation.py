@@ -108,6 +108,37 @@ def test_ragged_2d_files_still_rejected(tmp_path):
         build_regression_dataset(xf, yf)
 
 
+def test_sequence_pad_override_matches_prepadded(tmp_path):
+    """set_sequence_pad (the multi-host ragged reconciliation hook) must
+    make padded_batches emit exactly what a corpus pre-padded to that
+    length would."""
+    blocks = _ragged_blocks()
+    target = 15
+    padded_blocks = []
+    for x, y, l in blocks:
+        xp = np.zeros((x.shape[0], target, x.shape[2]))
+        xp[:, :x.shape[1]] = x
+        padded_blocks.append((xp, y, l))
+
+    xf, yf, lf = _write_blocks(tmp_path, blocks, prefix="rag")
+    xfp, yfp, lfp = _write_blocks(tmp_path, padded_blocks, prefix="pad")
+    ragged = build_regression_dataset(xf, yf, lf, chunk_size=64)
+    prepad = build_regression_dataset(xfp, yfp, lfp, chunk_size=64)
+
+    ragged.set_sequence_pad(target)
+    assert ragged.padded_seq_len() == target
+    assert ragged.get_padded_xdim() == (120, target, 5)
+    with pytest.raises(ValueError):
+        ragged.set_sequence_pad(4)  # below the dataset's own max
+
+    for (xa, ya, la, ma), (xb, yb, lb, mb) in zip(
+            ragged.padded_batches(), prepad.padded_batches()):
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ma, mb)
+        np.testing.assert_array_equal(ya, yb)
+        np.testing.assert_array_equal(la, lb)
+
+
 def test_ragged_fit_matches_prepadded(tmp_path):
     """A fit on ragged files must equal the same fit on files pre-padded
     to the global max sequence length (masked windows contribute

@@ -225,12 +225,14 @@ def test_streaming_classification(setup):
 
 
 def test_single_device_out_of_core_routes_streaming(monkeypatch):
-    """Without a multi-device mesh, an out-of-core dataset must still get
-    the superbatch + prefetch streaming engine (on a 1-device mesh)
-    instead of the synchronous per-chunk loop, and the fit must match."""
+    """Without a multi-device mesh (simulated: should_shard False, mode
+    "auto"), an out-of-core dataset must still get the superbatch +
+    prefetch streaming engine on a 1-device mesh instead of the
+    synchronous per-chunk loop, and the fit must match.  (engine_mode
+    "single" is the explicit opt-out from this routing -- config
+    promises it never builds shard_map programs; see
+    api_tests/test_model_plumbing.py.)"""
     from xgpr_tpu import config as xcfg
-    from xgpr_tpu.models import baseclass as bc
-    import xgpr_tpu.fitting.engine as eng
 
     (trx, tr_y), (tex, _) = tabular_data(n_train=1200)
     dset = build_regression_dataset(trx, tr_y, chunk_size=200)
@@ -242,16 +244,13 @@ def test_single_device_out_of_core_routes_streaming(monkeypatch):
         model.fit(dset, max_rank=128, min_rank=64)
         return model
 
-    xcfg.set_engine_mode("single")
-    try:
-        ref_model = run_fit()
-        monkeypatch.setattr(xcfg, "_STACKED_ELEMENT_LIMIT", 1)
-        model = run_fit()
-        engine = next(iter(model._engines.values()))
-        assert isinstance(engine, StreamingShardedEngine)
-        assert engine.n_dev == 1
-    finally:
-        xcfg.set_engine_mode("auto")
+    monkeypatch.setattr(xcfg, "should_shard", lambda: False)
+    ref_model = run_fit()
+    monkeypatch.setattr(xcfg, "_STACKED_ELEMENT_LIMIT", 1)
+    model = run_fit()
+    engine = next(iter(model._engines.values()))
+    assert isinstance(engine, StreamingShardedEngine)
+    assert engine.n_dev == 1
     p1 = ref_model.predict(tex[:200])
     p2 = model.predict(tex[:200])
     assert np.allclose(p1, p2, rtol=1e-5, atol=1e-7)

@@ -160,7 +160,7 @@ _SPEED_PRESETS = {
     "reference": dict(feature_precision="highest", sincos="exact",
                       fast_features=False),
     # Default: 3-pass bf16 feature matmuls (~5e-7 relative) + the
-    # high-accuracy shared-reduction polynomial sincos (~1.2e-7).
+    # full-period deg-13/14 polynomial sincos ("hi", ~6e-7 end-to-end).
     "balanced": dict(feature_precision="high", sincos="auto",
                      fast_features=False),
     # Maximum throughput: 1-pass bf16 projection + bf16 feature

@@ -32,6 +32,7 @@ class DatasetBaseclass(ABC):
         self._trainy_mean = float(trainy_mean)
         self._trainy_std = float(trainy_std)
         self._max_class = max_class
+        self._pad_dim1 = None
         self._uid = next(_DATASET_UIDS)
 
     def get_uid(self):
@@ -60,6 +61,38 @@ class DatasetBaseclass(ABC):
 
     def get_xdim(self):
         return self._xdim
+
+    def set_sequence_pad(self, dim1):
+        """Raise the sequence-axis length ``padded_batches`` pads to.
+
+        Multi-host engines call this with the MAX dim1 over all hosts'
+        local datasets so every host emits identically-shaped batches
+        (ragged corpora split across hosts otherwise diverge: each
+        host's local maximum differs).  Extra positions fall beyond every
+        row's sequence_length, so masked conv features are unchanged."""
+        if len(self._xdim) != 3:
+            return
+        dim1 = int(dim1)
+        if dim1 < self._xdim[1]:
+            raise ValueError(
+                f"sequence pad {dim1} is below this dataset's own "
+                f"maximum sequence axis {self._xdim[1]}.")
+        self._pad_dim1 = dim1
+
+    def padded_seq_len(self):
+        """Sequence-axis length of every batch ``padded_batches`` yields
+        (the dataset max, or the multi-host override if one is set)."""
+        if len(self._xdim) != 3:
+            return None
+        return self._pad_dim1 if self._pad_dim1 is not None \
+            else self._xdim[1]
+
+    def get_padded_xdim(self):
+        """``get_xdim`` with dim1 replaced by the effective pad target:
+        the shape contract of ``padded_batches`` output."""
+        if len(self._xdim) != 3:
+            return self._xdim
+        return (self._xdim[0], self.padded_seq_len()) + self._xdim[2:]
 
     def get_ndatapoints(self):
         return self._xdim[0]
@@ -94,17 +127,17 @@ class DatasetBaseclass(ABC):
         masked conv features are unchanged.
         """
         cs = self._chunk_size
+        p1 = self.padded_seq_len()
         src = self.get_chunked_data() if with_y else (
             (x, None, l) for x, l in self.get_chunked_x_data())
         for xchunk, ychunk, lchunk in src:
             n = xchunk.shape[0]
-            dim1_pad = self._xdim[1] - xchunk.shape[1] \
-                if xchunk.ndim == 3 else 0
+            dim1_pad = p1 - xchunk.shape[1] if xchunk.ndim == 3 else 0
             if n == cs and dim1_pad == 0:
                 mask = np.ones((cs,), dtype=np.float64)
                 yield xchunk, ychunk, lchunk, mask
                 continue
-            xp = np.zeros((cs, self._xdim[1]) + xchunk.shape[2:],
+            xp = np.zeros((cs, p1) + xchunk.shape[2:],
                           dtype=xchunk.dtype) if xchunk.ndim == 3 else \
                 np.zeros((cs,) + xchunk.shape[1:], dtype=xchunk.dtype)
             xp[:n, :xchunk.shape[1]] = xchunk
@@ -116,7 +149,7 @@ class DatasetBaseclass(ABC):
                 yp[:n] = ychunk
             lp = None
             if lchunk is not None:
-                lp = np.full((cs,), self._xdim[1], dtype=np.int32)
+                lp = np.full((cs,), p1, dtype=np.int32)
                 lp[:n] = lchunk
             yield xp, yp, lp, mask
 

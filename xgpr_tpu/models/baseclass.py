@@ -88,12 +88,15 @@ class ModelBaseclass:
                     # superbatches through the same shard_map programs.
                     from ..parallel.streaming import StreamingShardedEngine
                     engine = StreamingShardedEngine(self.kernel, dataset)
-            elif not fits and _jax.process_count() == 1:
+            elif not fits and _jax.process_count() == 1 \
+                    and _config.engine_mode() != "single":
                 # Single-device out-of-core: same superbatch machinery on
                 # a 1-device mesh, so one chip gets scanned multi-chunk
                 # dispatches (fewer per-call latencies) and the one-deep
                 # host->device prefetch that overlaps transfer with
                 # compute, instead of a synchronous per-chunk loop.
+                # (engine_mode "single" opts out: config promises it
+                # never routes through shard_map programs.)
                 from ..parallel.mesh import data_mesh
                 from ..parallel.streaming import StreamingShardedEngine
                 engine = StreamingShardedEngine(

@@ -247,10 +247,8 @@ def conv_parts_pallas(x, seq_lengths, proj, sigma, width, num_freqs,
         ConvKernelBaseclass.pure_feature_parts_fn).
     """
     from ... import config as _cfg
-    from ..sincos import sincos_mode
-    sincos = sincos_mode()
-    if sincos == "auto":
-        sincos = "hi"            # trace-identical; keeps the cache key stable
+    from ..sincos import resolved_sincos_mode
+    sincos = resolved_sincos_mode()
     return _conv_parts_impl(x, seq_lengths, proj, sigma, width,
                             num_freqs, interpret, sincos,
                             _cfg.feature_matmul_precision())

@@ -67,10 +67,8 @@ def rbf_feature_map_pallas(x, proj, fit_intercept, padded,
     Un-jitted wrapper: the sincos mode is resolved here and passed
     static so config switches retrace already-compiled shapes.
     """
-    from ..sincos import sincos_mode
-    sincos = sincos_mode()
-    if sincos == "auto":
-        sincos = "hi"            # trace-identical; keeps the cache key stable
+    from ..sincos import resolved_sincos_mode
+    sincos = resolved_sincos_mode()
     return _rbf_feature_map_impl(x, proj, fit_intercept, padded,
                                  interpret, sincos)
 

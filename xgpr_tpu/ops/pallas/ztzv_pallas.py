@@ -195,10 +195,8 @@ def ztzv_parts_pallas(x, m, proj, sigma, v_c, v_s, fit_intercept,
     the impl has already compiled.
     """
     from ... import config as _cfg
-    from ..sincos import sincos_mode
-    sincos = sincos_mode()
-    if sincos == "auto":
-        sincos = "hi"            # trace-identical; keeps the cache key stable
+    from ..sincos import resolved_sincos_mode
+    sincos = resolved_sincos_mode()
     return _ztzv_parts_impl(x, m, proj, sigma, v_c, v_s,
                             fit_intercept, num_freqs, interpret,
                             sincos, _cfg.feature_matmul_precision(),

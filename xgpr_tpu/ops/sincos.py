@@ -49,6 +49,15 @@ import jax.numpy as jnp
 
 from ..config import sincos_mode
 
+
+def resolved_sincos_mode() -> str:
+    """The config sincos mode with aliases canonicalized ("auto" -> the
+    evaluator it currently selects).  Pallas wrappers key their jit
+    caches on this so an alias and its target are trace-identical."""
+    mode = sincos_mode()
+    return "hi" if mode == "auto" else mode
+
+
 # Cody-Waite split of pi/2 (2x the cephes pi/4 DP constants).
 _DP1 = 1.5703125
 _DP2 = 4.837512969970703125e-4

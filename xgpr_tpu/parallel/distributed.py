@@ -37,6 +37,52 @@ def global_data_mesh():
     return data_mesh()
 
 
+def global_host_reduce(values, ops, mesh=None):
+    """Reduce a small tuple of per-host scalars across every host.
+
+    One tiny collective per call: each host replicates its scalars over
+    its local devices, the stacks assemble into a global array, and a
+    shard_map applies ``psum`` / ``pmax`` columnwise.  Engines use this
+    to agree on stream geometry (row totals, superbatch counts, ragged
+    sequence-axis maxima) before building any data program.
+
+    Args:
+        values: sequence of python floats (this host's contribution).
+        ops: matching sequence of "sum" or "max".
+        mesh: the global data mesh (defaults to all devices).
+
+    Returns:
+        List of floats, the global reductions, identical on every host.
+        Single-process runs return ``values`` unchanged (no program).
+    """
+    if len(values) != len(ops):
+        raise ValueError("values and ops must pair up")
+    if jax.process_count() == 1:
+        return [float(v) for v in values]
+    import jax.numpy as jnp
+    from jax import shard_map as _sm
+    mesh = mesh if mesh is not None else global_data_mesh()
+    n_local = jax.local_device_count()
+    # "sum" splits this host's value over its local devices so the
+    # all-device psum totals exactly sum-over-hosts; "max" replicates.
+    per_dev = np.stack([
+        np.full((n_local,), float(v) / n_local if op == "sum"
+                else float(v))
+        for v, op in zip(values, ops)], axis=1)
+    arr = host_local_stack_to_global(per_dev, mesh)
+
+    def reduce_cols(x):
+        cols = [jax.lax.psum(x[:, i], DATA_AXIS) if op == "sum"
+                else jax.lax.pmax(x[:, i], DATA_AXIS)
+                for i, op in enumerate(ops)]
+        return jnp.stack(cols, axis=1)
+
+    fn = jax.jit(_sm(reduce_cols, mesh=mesh, check_vma=False,
+                     in_specs=P(DATA_AXIS), out_specs=P()))
+    out = np.asarray(fn(arr))
+    return [float(out[0, i]) for i in range(len(ops))]
+
+
 def host_local_stack_to_global(local_stack, mesh=None):
     """Assemble a globally-sharded array from per-host batch stacks.
 

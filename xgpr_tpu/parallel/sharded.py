@@ -64,6 +64,15 @@ class ShardedEngine:
         xs, ys, ls, ms = [], [], [], []
         has_l = False
         ydt = np.int32 if self.is_classification else np.float64
+        if jax.process_count() > 1 and len(self.dataset.get_xdim()) == 3:
+            # Ragged corpora split across hosts: agree on the global
+            # sequence-axis maximum so every host's batches share one
+            # shape (per-host local maxima otherwise diverge and the
+            # global array assembly fails).
+            from .distributed import global_host_reduce
+            (gdim1,) = global_host_reduce(
+                (float(self.dataset.get_xdim()[1]),), ("max",), self.mesh)
+            self.dataset.set_sequence_pad(int(round(gdim1)))
         for xb, yb, lb, mb in self.dataset.padded_batches(with_y=True):
             xs.append(np.asarray(xb))
             ys.append(np.asarray(yb, dtype=ydt))
@@ -83,7 +92,7 @@ class ShardedEngine:
             ys.append(np.zeros_like(ys[0]))
             ms.append(np.zeros_like(ms[0]))
             if has_l:
-                ls.append(np.full_like(ls[0], self.dataset.get_xdim()[1]))
+                ls.append(np.full_like(ls[0], self.dataset.padded_seq_len()))
 
         from .distributed import host_local_stack_to_global
         dt = np.dtype(jnp.dtype(self._dtype).name)

@@ -66,35 +66,30 @@ class StreamingShardedEngine(ShardedEngine):
 
     def _global_stream_geometry(self):
         """One collective exchange of stream geometry across hosts:
-        (psum of unmasked rows, MAX superbatch count over hosts).
+        (psum of unmasked rows, MAX superbatch count, MAX sequence axis).
 
         Every reduction program call is a collective, so hosts must all
-        take the same number of superbatch steps; with unequal local file
-        splits, the short hosts pad their streams with masked empty
-        superbatches up to the global maximum instead of deadlocking in
-        a rendezvous.
+        take the same number of superbatch steps AND emit identically
+        shaped superbatches; with unequal local file splits, the short
+        hosts pad their streams with masked empty superbatches up to the
+        global maximum instead of deadlocking in a rendezvous, and ragged
+        corpora (per-host local sequence maxima differ) pad every batch's
+        dim1 up to the cross-host maximum.
         """
-        # Both quantities are dataset metadata (builder-computed row
-        # count; one padded batch per chunk) -- no data pass needed.
+        # All three quantities are dataset metadata (builder-computed row
+        # count; one padded batch per chunk; dim1 max) -- no data pass.
         local_rows = float(self.dataset.get_ndatapoints())
         local_batches = self.dataset.get_n_batches()
         local_steps = -(-local_batches // self._local_steps)
-        from .distributed import host_local_stack_to_global
-        from jax import shard_map as _sm
-        n_local_dev = jax.local_device_count()
-        per_dev = np.stack([
-            np.full((n_local_dev,), local_rows / n_local_dev),
-            np.full((n_local_dev,), float(local_steps)),
-        ], axis=1)
-        arr = host_local_stack_to_global(per_dev, self.mesh)
-
-        def both(x):
-            return jnp.stack([jax.lax.psum(x[:, 0], DATA_AXIS),
-                              jax.lax.pmax(x[:, 1], DATA_AXIS)], axis=1)
-        fn = jax.jit(_sm(both, mesh=self.mesh, check_vma=False,
-                         in_specs=P(DATA_AXIS), out_specs=P()))
-        out = np.asarray(fn(arr))
-        return int(round(float(out[0, 0]))), int(round(float(out[0, 1])))
+        xdim = self.dataset.get_xdim()
+        dim1 = float(xdim[1]) if len(xdim) == 3 else 0.0
+        from .distributed import global_host_reduce
+        rows, steps, gdim1 = global_host_reduce(
+            (local_rows, float(local_steps), dim1),
+            ("sum", "max", "max"), self.mesh)
+        if len(xdim) == 3:
+            self.dataset.set_sequence_pad(int(round(gdim1)))
+        return int(round(rows)), int(round(steps))
 
     # ------------------------------------------------------------------
     def _put(self, arrs):
@@ -116,7 +111,7 @@ class StreamingShardedEngine(ShardedEngine):
         dt = np.dtype(jnp.dtype(self._dtype).name)
         ydt = np.int32 if self.is_classification else dt
         s_local = self._local_steps
-        xdim = self.dataset.get_xdim()
+        xdim = self.dataset.get_padded_xdim()
         full_len = xdim[1]
         chunk = self.dataset.get_chunk_size()
         xs, ys, ls, ms = [], [], [], []
