@@ -30,6 +30,19 @@ def _normalize(text):
     return re.sub(r"\s+", " ", text).strip().lower()
 
 
+def _join_split_literals(text):
+    """Collapse implicit string concatenations in raw source text.
+
+    A literal split across lines in the reference source
+    (``"...part one "`` newline ``"part two..."``) leaves a
+    quote-whitespace-quote juncture in the corpus that would otherwise
+    prevent the joined literal from ever matching.  Deleting those
+    junctures reconstructs the literal's full text.  Over-joining
+    unrelated adjacent strings only makes the guard stricter.
+    """
+    return re.sub(r"\"\s*\"|'\s*'", "", text)
+
+
 def _reference_corpus():
     chunks = []
     for root, _, files in os.walk(REFERENCE):
@@ -43,7 +56,7 @@ def _reference_corpus():
                         chunks.append(fh.read())
                 except OSError:
                     continue
-    return _normalize("\n".join(chunks))
+    return _normalize(_join_split_literals("\n".join(chunks)))
 
 
 def _repo_literals():

@@ -198,3 +198,27 @@ def test_engine_mode_single_never_routes_to_shard_map():
     finally:
         cfg.set_engine_mode("auto")
         cfg.set_stacked_limit(10 ** 9)
+
+
+def test_engine_cache_keys_on_kernel_uid_not_id():
+    """Dropping and rebuilding a same-shape kernel must yield a fresh
+    engine even if CPython recycles the old kernel's id() for the new
+    object (the engine cache keys on a never-recycled kernel uid)."""
+    import gc
+
+    (trx, tr_y), _ = tabular_data(n_train=300)
+    dset = build_regression_dataset(trx, tr_y, chunk_size=150)
+    model = GPRegression(num_rffs=128, kernel_choice="RBF", verbose=False)
+    model.set_hyperparams(HPARAMS, dset)
+    first_engine = model._engine(dset)
+    first_uid = model.kernel.get_uid()
+
+    # Drop the kernel entirely, then rebuild an identically-shaped one;
+    # the uid must be fresh and the cached engine must not be reused.
+    model.kernel = None
+    gc.collect()
+    model._initialize_kernel(dset)
+    model.set_hyperparams(HPARAMS, dset)
+    assert model.kernel.get_uid() != first_uid
+    second_engine = model._engine(dset)
+    assert second_engine is not first_engine

@@ -83,8 +83,9 @@ def _check_sequence_lengths(seqlength, xdata, ydata):
                 "sequence_length values must be in the range "
                 "(1, num_elements) for the corresponding input array.")
     elif xdata.ndim == 3:
-        raise RuntimeError("sequence_lengths cannot be None if supplying "
-                           "sequences / time series / graphs as input.")
+        raise RuntimeError(
+            "3d input (sequences, time series, graphs) needs a "
+            "sequence_lengths array — one entry per row; got None.")
 
 
 def _check_classes(ydata):

@@ -71,7 +71,9 @@ class DatasetBaseclass(ABC):
         host's local maximum differs).  Extra positions fall beyond every
         row's sequence_length, so masked conv features are unchanged."""
         if len(self._xdim) != 3:
-            return
+            raise ValueError(
+                "set_sequence_pad applies to 3d (sequence) datasets "
+                f"only; this dataset's xdim is {self._xdim}.")
         dim1 = int(dim1)
         if dim1 < self._xdim[1]:
             raise ValueError(

@@ -35,8 +35,8 @@ class SORFKernelBaseclass(KernelBaseclass):
                          kernel_spec_parms=kernel_spec_parms)
         if len(xdim) != 2:
             raise ValueError(
-                "The dimensionality of the input is inappropriate for "
-                "the kernel you have selected.")
+                "This kernel operates on fixed-length vectors and needs "
+                f"a 2d (rows, features) input; got a {len(xdim)}d shape.")
         self.random_seed = random_seed
         padded = next_pow2(xdim[-1])
         nblocks = max(1, ceil(self.num_freqs / padded))
@@ -412,8 +412,8 @@ class Linear(KernelBaseclass):
                          double_precision=double_precision,
                          kernel_spec_parms=parms)
         if len(xdim) > 2:
-            raise ValueError("The Linear kernel is only applicable for "
-                             "fixed vector input.")
+            raise ValueError("Linear kernels accept 2d (rows, features) "
+                             "arrays only — not sequence or graph input.")
         self.fit_intercept = fit_intercept
         self.hyperparams = np.ones((1,))
         self.bounds = np.asarray([[1e-3, 1e1]])

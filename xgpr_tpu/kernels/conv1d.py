@@ -46,8 +46,8 @@ class ConvKernelBaseclass(KernelBaseclass):
                          kernel_spec_parms=kernel_spec_parms)
         if len(xdim) != 3:
             raise RuntimeError(
-                "Tried to initialize a Conv1d kernel with a 2d x-array! "
-                "Convolution kernels expect (rows, seq, channels) 3d input.")
+                f"Convolution kernels expect 3d (rows, seq, channels) "
+                f"input; got a {len(xdim)}d shape.")
         parms = kernel_spec_parms or {}
         averaging = parms.get("averaging", "none")
         if averaging not in _AVERAGING:
@@ -308,8 +308,8 @@ class ConvKernelBaseclass(KernelBaseclass):
 def _require_conv_width(parms):
     if "conv_width" not in parms:
         raise ValueError(
-            "conv_width must be included as a kernel-specific parameter "
-            "if using a sequence kernel.")
+            "Sequence kernels need kernel_settings to supply 'conv_width' "
+            "(the k-mer window length); none was given.")
 
 
 class Conv1dRBF(ConvKernelBaseclass):

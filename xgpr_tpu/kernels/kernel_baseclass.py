@@ -14,12 +14,15 @@ cpu/cuda device shuffling; arrays live wherever the enclosing jit/sharding
 puts them.
 """
 import abc
+import itertools
 from abc import ABC
 
 import numpy as np
 import jax.numpy as jnp
 
 from .. import config
+
+_KERNEL_UIDS = itertools.count()
 
 
 class KernelBaseclass(ABC):
@@ -48,6 +51,12 @@ class KernelBaseclass(ABC):
         self.kernel_spec_parms = kernel_spec_parms
         self.hyperparams = None
         self.bounds = None
+        self._uid = next(_KERNEL_UIDS)
+
+    def get_uid(self):
+        """Process-unique, never-recycled identity for caching (mirrors
+        DatasetBaseclass.get_uid; id() can alias a GC'd kernel)."""
+        return self._uid
 
     # ------------------------------------------------------------------
     # abstract interface

@@ -23,8 +23,9 @@ class SRHTCompressor:
 
     def __init__(self, compression_size, input_size, random_seed=123):
         if compression_size >= input_size or compression_size <= 1:
-            raise RuntimeError("The compression size should be < the number "
-                               "of rffs and > 1.")
+            raise RuntimeError(
+                f"compression_size must lie strictly between 1 and the "
+                f"input width ({input_size}); got {compression_size}.")
         self.compression_size = int(compression_size)
         self.input_size = int(input_size)
         self.padded_dims = next_pow2(input_size)

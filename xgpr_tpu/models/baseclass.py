@@ -70,13 +70,21 @@ class ModelBaseclass:
         # config epoch in the key: engine choice depends on config state
         # (engine mode, stacked limit), so a mode switch mid-session must
         # rebuild rather than reuse an engine of the old kind.
-        key = (self._dataset_token(dataset), id(self.kernel),
+        key = (self._dataset_token(dataset), self.kernel.get_uid(),
                _config.config_epoch())
         engine = self._engines.get(key)
         if engine is None:
             import numpy as _np
             import jax as _jax
             n_elements = int(_np.prod(dataset.get_xdim()))
+            if _jax.process_count() > 1:
+                # Per-host datasets may be unequal (ragged splits): every
+                # host must make the SAME stacked-vs-streaming choice or
+                # their metadata collectives diverge and the job hangs.
+                # Agree on the largest local size before deciding.
+                from ..parallel.distributed import global_host_reduce
+                n_elements = int(global_host_reduce(
+                    [float(n_elements)], ["max"])[0])
             fits = n_elements < _config.stacked_element_limit() * max(
                 1, len(_jax.devices()))
             if _config.should_shard():
@@ -184,11 +192,13 @@ class ModelBaseclass:
                 raise RuntimeError("sequence_lengths is required if using a "
                                    "convolution kernel.")
         elif input_x.ndim == 2:
-            raise RuntimeError("sequence_lengths must be None if using a "
-                               "fixed vector kernel.")
+            raise RuntimeError("Fixed-vector kernels take no "
+                               "sequence_lengths argument; pass None.")
         if self.weights.shape[0] != self.kernel.get_num_rffs():
-            raise RuntimeError("The size of the weight vector does not "
-                               "match the number of random features.")
+            raise RuntimeError(
+                f"Fitted weights cover {self.weights.shape[0]} features but "
+                f"the kernel now produces {self.kernel.get_num_rffs()}; "
+                "refit after changing the feature count.")
         if self.var is None and get_var:
             raise RuntimeError("Variance was requested but suppress_var was "
                                "selected when fitting.")
@@ -272,8 +282,9 @@ class ModelBaseclass:
         if self.kernel is None:
             self._initialize_kernel(dataset)
         if self.variance_rffs > self.kernel.get_num_rffs():
-            raise RuntimeError("The number of variance rffs should be <= "
-                               "the number of random features.")
+            raise RuntimeError(
+                f"variance_rffs ({self.variance_rffs}) cannot exceed the "
+                f"kernel's feature count ({self.kernel.get_num_rffs()}).")
         if max_rank is not None:
             if max_rank < 1:
                 raise RuntimeError("Invalid value for max_rank.")
@@ -401,8 +412,9 @@ class ModelBaseclass:
         """Changing kernel settings invalidates the kernel and weights
         (model_baseclass.py:523-539)."""
         if not isinstance(value, dict):
-            raise RuntimeError("Tried to set kernel_spec_parms to "
-                               "something that was not a dict!")
+            raise RuntimeError(
+                f"kernel_spec_parms expects a dict of kernel settings; "
+                f"got {type(value).__name__}.")
         self._kernel_spec_parms = value
         self.kernel = None
         self.weights = None

@@ -49,8 +49,8 @@ class AuxiliaryBaseclass:
                 raise RuntimeError("sequence_lengths is required if using "
                                    "a convolution kernel.")
         elif input_x.ndim == 2:
-            raise RuntimeError("sequence_lengths must be None if using a "
-                               "fixed vector kernel.")
+            raise RuntimeError("Fixed-vector kernels take no "
+                               "sequence_lengths argument; pass None.")
 
 
 class KernelFGen(AuxiliaryBaseclass):

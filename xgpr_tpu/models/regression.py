@@ -448,8 +448,9 @@ class GPRegression(ModelBaseclass):
                     engine, preconditioner, tol, max_iter, self.verbose)
                 block(self.weights)
         else:
-            raise RuntimeError("Unrecognized fitting mode supplied. Must "
-                               "provide one of 'cg', 'exact'.")
+            raise RuntimeError(
+                f"Unknown fit mode {mode!r}; valid choices are 'cg' "
+                "and 'exact'.")
 
         if not suppress_var:
             if self.verbose:
@@ -493,8 +494,9 @@ class GPRegression(ModelBaseclass):
                 self.kernel, engine_factory, optim_bounds, random_seed,
                 max_bayes_iter, self.verbose, subsample=subsample)
         else:
-            raise RuntimeError("The crude procedure is only appropriate "
-                               "for kernels with 1-3 hyperparameters.")
+            raise RuntimeError(
+                "Crude tuning covers kernels carrying one to three "
+                f"hyperparameters; this kernel has {num_hparams}.")
 
         self.kernel.set_hyperparams(hyperparams, logspace=True)
         return hyperparams, n_feval, best_score

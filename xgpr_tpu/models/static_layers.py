@@ -51,8 +51,10 @@ class FastConv1d:
         """Extract (N, num_features) maxpool conv features
         (fast_conv.py:68-118)."""
         if sequence_lengths.shape[0] != x_array.shape[0]:
-            raise RuntimeError("The shape[0] of sequence_lengths must "
-                               "match the shape[0] of x_array.")
+            raise RuntimeError(
+                f"sequence_lengths has {sequence_lengths.shape[0]} entries "
+                f"but x_array has {x_array.shape[0]} rows; one length per "
+                "row is required.")
         feats = []
         for i in range(0, x_array.shape[0], chunk_size):
             cut = min(x_array.shape[0], i + chunk_size)

@@ -59,8 +59,6 @@ def global_host_reduce(values, ops, mesh=None):
         raise ValueError("values and ops must pair up")
     if jax.process_count() == 1:
         return [float(v) for v in values]
-    import jax.numpy as jnp
-    from jax import shard_map as _sm
     mesh = mesh if mesh is not None else global_data_mesh()
     n_local = jax.local_device_count()
     # "sum" splits this host's value over its local devices so the
@@ -71,16 +69,32 @@ def global_host_reduce(values, ops, mesh=None):
         for v, op in zip(values, ops)], axis=1)
     arr = host_local_stack_to_global(per_dev, mesh)
 
-    def reduce_cols(x):
-        cols = [jax.lax.psum(x[:, i], DATA_AXIS) if op == "sum"
-                else jax.lax.pmax(x[:, i], DATA_AXIS)
-                for i, op in enumerate(ops)]
-        return jnp.stack(cols, axis=1)
-
-    fn = jax.jit(_sm(reduce_cols, mesh=mesh, check_vma=False,
-                     in_specs=P(DATA_AXIS), out_specs=P()))
+    fn = _host_reduce_program(tuple(ops), mesh)
     out = np.asarray(fn(arr))
     return [float(out[0, i]) for i in range(len(ops))]
+
+
+_HOST_REDUCE_PROGRAMS = {}
+
+
+def _host_reduce_program(ops, mesh):
+    """Memoized jitted columnwise psum/pmax (a fresh closure per call
+    would retrace, and each remote compile costs minutes on the relay)."""
+    import jax.numpy as jnp
+    from jax import shard_map as _sm
+    key = (ops, mesh)
+    fn = _HOST_REDUCE_PROGRAMS.get(key)
+    if fn is None:
+        def reduce_cols(x):
+            cols = [jax.lax.psum(x[:, i], DATA_AXIS) if op == "sum"
+                    else jax.lax.pmax(x[:, i], DATA_AXIS)
+                    for i, op in enumerate(ops)]
+            return jnp.stack(cols, axis=1)
+
+        fn = jax.jit(_sm(reduce_cols, mesh=mesh, check_vma=False,
+                         in_specs=P(DATA_AXIS), out_specs=P()))
+        _HOST_REDUCE_PROGRAMS[key] = fn
+    return fn
 
 
 def host_local_stack_to_global(local_stack, mesh=None):
