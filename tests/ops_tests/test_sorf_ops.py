@@ -1,6 +1,8 @@
 """SORF / conv / SRHT op tests against pure-numpy oracles, sweeping the
-same odd shapes as the reference suite (10x50, 3x2003, 11x1076, 231x56;
-freq counts below, equal to and above the padded dim)."""
+reference suite's odd shapes (10x50, 3x2003, 11x1076, 231x856 — the
+last pads to 1024 like /root/reference/tests/fht_operations_tests/
+test_rbf_rfgen.py:45 — plus 231x56; freq counts below, equal to and
+above the padded dim)."""
 import sys
 import os
 import numpy as np
@@ -31,6 +33,7 @@ def _make_state(seed, d, num_freqs):
 @pytest.mark.parametrize("n,d,num_freqs", [
     (10, 50, 32), (10, 50, 64), (10, 50, 1000),
     (3, 2003, 128), (11, 1076, 1024), (231, 56, 4096),
+    (231, 856, 2000), (231, 856, 8192),
 ])
 def test_rbf_features_vs_oracle(n, d, num_freqs):
     rng = np.random.default_rng(42)
