@@ -1,0 +1,182 @@
+"""North-star end-to-end: NMLL tuning + fit + NMLL verification at 1M.
+
+BASELINE.json's north star is a 1M+ datapoint Conv1dRBF fit whose NMLL
+matches within 0.1%.  This script ties the whole pipeline together at
+that shape (million_point_fit.py fits at FIXED hyperparameters; here the
+hyperparameters come from real NMLL tuning):
+
+  1. TUNE   -- crude (exact-NMLL, closed-form-lambda Bayesian-grid)
+               tuning on a row subsample at --tune-rffs, optionally
+               followed by SLQ-scored scipy refinement on the full data
+               (--slq-refine).
+  2. FIT    -- full preconditioned-CG fit of all rows at --num-rffs
+               with the tuned hyperparameters.
+  3. VERIFY -- at the tuned point and fit RFFs, the SLQ-approximated
+               NMLL (the quantity approximate tuning optimizes) is
+               checked against the exact evaluation (design-matrix
+               Cholesky, one full-data pass): |approx-exact|/|exact|
+               must be within the 0.1% north-star tolerance.
+
+Per-phase wall-clock and the NMLL delta are printed as one JSON line and
+written to NORTHSTAR_r04.json at the repo root.
+
+    python scripts/million_point_tune_fit.py --rows 1000000 --stacked
+"""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--seq-len", type=int, default=16)
+    ap.add_argument("--conv-width", type=int, default=9)
+    ap.add_argument("--num-rffs", type=int, default=8192)
+    ap.add_argument("--tune-rffs", type=int, default=2048)
+    ap.add_argument("--tune-rows", type=int, default=100_000,
+                    help="subsample size for crude tuning")
+    ap.add_argument("--chunk", type=int, default=16384)
+    ap.add_argument("--max-rank", type=int, default=512)
+    ap.add_argument("--max-bayes-iter", type=int, default=10)
+    ap.add_argument("--slq-refine", action="store_true",
+                    help="follow crude tuning with SLQ-scored Powell "
+                         "refinement on the full data")
+    ap.add_argument("--backend", default=None)
+    ap.add_argument("--stacked", action="store_true",
+                    help="raise the stacked limit so the dataset is "
+                         "held device-resident (needs the HBM headroom)")
+    ap.add_argument("--out", default=None,
+                    help="artifact path (default NORTHSTAR_r04.json)")
+    args = ap.parse_args()
+
+    import jax
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    import numpy as np
+    from xgpr_tpu import GPRegression, build_regression_dataset
+    if args.stacked:
+        from xgpr_tpu import config as xcfg
+        xcfg.set_stacked_limit(4 * 10 ** 9)
+
+    result = {"rows": args.rows, "num_rffs": args.num_rffs,
+              "tune_rffs": args.tune_rffs, "tune_rows": args.tune_rows,
+              "max_rank": args.max_rank, "kernel": "Conv1dRBF"}
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    L, D = args.seq_len, args.dim
+    x = rng.standard_normal((args.rows, L, D)).astype(np.float32)
+    lengths = rng.integers(args.conv_width, L + 1,
+                           size=(args.rows,)).astype(np.int32)
+    w = rng.standard_normal(D) / np.sqrt(D)
+    y = np.tanh((x @ w)).mean(axis=1) + \
+        0.1 * rng.standard_normal(args.rows)
+    data = build_regression_dataset(x, y, sequence_lengths=lengths,
+                                    chunk_size=args.chunk)
+    print(f"data generated in {time.time()-t0:.1f}s "
+          f"({x.nbytes/1e9:.2f} GB)", flush=True)
+
+    # ---- Phase 1: TUNE ------------------------------------------------
+    n_sub = min(args.tune_rows, args.rows)
+    sub = build_regression_dataset(
+        x[:n_sub], y[:n_sub], sequence_lengths=lengths[:n_sub],
+        chunk_size=args.chunk)
+    model = GPRegression(num_rffs=args.tune_rffs,
+                         variance_rffs=min(512, args.tune_rffs // 4),
+                         kernel_choice="Conv1dRBF",
+                         kernel_settings={"conv_width": args.conv_width},
+                         verbose=True)
+    t0 = time.time()
+    hparams, n_feval, tune_score = model.tune_hyperparams_crude(
+        sub, max_bayes_iter=args.max_bayes_iter)
+    result["tune_crude_sec"] = time.time() - t0
+    result["tune_crude_nfeval"] = int(n_feval)
+    result["tune_crude_score"] = float(tune_score)
+    print(f"crude tune ({n_sub} rows, {args.tune_rffs} RFFs): "
+          f"hp={np.asarray(hparams)} score={tune_score:.2f} "
+          f"in {result['tune_crude_sec']:.1f}s", flush=True)
+
+    if args.slq_refine:
+        t0 = time.time()
+        hparams, _, best = model.tune_hyperparams(
+            data, max_iter=15, tuning_method="Powell",
+            starting_hyperparams=np.asarray(hparams),
+            nmll_method="approximate", tol=1e-2, n_restarts=1)
+        result["tune_slq_refine_sec"] = time.time() - t0
+        result["tune_slq_refine_score"] = float(best)
+        print(f"SLQ refinement: hp={np.asarray(hparams)} "
+              f"score={best:.2f} in {result['tune_slq_refine_sec']:.1f}s",
+              flush=True)
+    result["tuned_hyperparams"] = list(map(float, np.asarray(hparams)))
+
+    # ---- Phase 2: FIT --------------------------------------------------
+    model.num_rffs = args.num_rffs
+    model.set_hyperparams(np.asarray(hparams), data)
+
+    t0 = time.time()
+    precond, ratio = model.build_preconditioner(
+        data, max_rank=args.max_rank, method="srht_2")
+    result["precond_sec"] = time.time() - t0
+    result["precond_ratio"] = float(ratio)
+    print(f"preconditioner rank {args.max_rank}: ratio={ratio:.3f} "
+          f"({result['precond_sec']:.1f}s)", flush=True)
+
+    t0 = time.time()
+    n_iter, _ = model.fit(data, preconditioner=precond, tol=1e-6,
+                          mode="cg", suppress_var=True,
+                          run_diagnostics=True)
+    result["fit_sec"] = time.time() - t0
+    result["cg_iterations"] = int(n_iter)
+    print(f"CG fit: {n_iter} iterations in {result['fit_sec']:.1f}s "
+          f"({args.rows * n_iter / result['fit_sec']:.3g} row-iters/s)",
+          flush=True)
+
+    idx = rng.choice(args.rows, min(20000, args.rows // 2),
+                     replace=False)
+    preds = model.predict(x[idx], sequence_lengths=lengths[idx])
+    result["train_sample_rmse"] = float(
+        np.sqrt(np.mean((preds - y[idx]) ** 2)))
+    print(f"train-sample RMSE: {result['train_sample_rmse']:.4f} "
+          "(noise floor 0.1)", flush=True)
+
+    # ---- Phase 3: VERIFY NMLL -------------------------------------------
+    hp = np.asarray(hparams)
+    t0 = time.time()
+    approx = model.approximate_nmll(
+        hp, data, manual_settings={"max_rank": args.max_rank,
+                                   "preconditioner_mode": "srht_2"})
+    result["slq_nmll_sec"] = time.time() - t0
+    result["slq_nmll"] = float(approx)
+    print(f"SLQ NMLL: {approx:.4f} ({result['slq_nmll_sec']:.1f}s)",
+          flush=True)
+
+    t0 = time.time()
+    exact = model.exact_nmll(hp, data)
+    result["exact_nmll_sec"] = time.time() - t0
+    result["exact_nmll"] = float(exact)
+    delta = abs(approx - exact) / abs(exact)
+    result["nmll_rel_delta"] = float(delta)
+    result["north_star_tolerance"] = 1e-3
+    result["nmll_within_tolerance"] = bool(delta < 1e-3)
+    print(f"exact NMLL: {exact:.4f} ({result['exact_nmll_sec']:.1f}s); "
+          f"rel delta {delta:.2e} "
+          f"{'PASS' if delta < 1e-3 else 'FAIL'} (tol 1e-3)", flush=True)
+
+    out_path = args.out or _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "NORTHSTAR_r04.json")
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
