@@ -76,9 +76,27 @@ def main():
     x = rng.standard_normal((args.rows, L, D)).astype(np.float32)
     lengths = rng.integers(args.conv_width, L + 1,
                            size=(args.rows,)).astype(np.int32)
-    w = rng.standard_normal(D) / np.sqrt(D)
-    y = np.tanh((x @ w)).mean(axis=1) + \
-        0.1 * rng.standard_normal(args.rows)
+    # Target with genuine conv-RBF structure: nonlinear functions of
+    # window projections, averaged over each row's VALID k-mer windows,
+    # so NMLL tuning lands at a benign interior lengthscale (a
+    # near-linear target drives sigma to a degenerate corner where the
+    # feature matrix is numerically rank-1 and SLQ/preconditioning
+    # break down -- observed, not hypothetical).
+    width = args.conv_width
+    nw = L - width + 1
+    w1 = rng.standard_normal((width, D)).astype(np.float32)
+    w2 = rng.standard_normal((width, D)).astype(np.float32)
+    scale = 1.0 / np.sqrt(width * D)
+    n_valid = (lengths - width + 1).astype(np.float64)
+    y = np.zeros(args.rows, dtype=np.float64)
+    for t in range(nw):
+        win = x[:, t:t + width, :]
+        z1 = np.einsum("nwd,wd->n", win, w1) * scale
+        z2 = np.einsum("nwd,wd->n", win, w2) * scale
+        valid = t < n_valid
+        y += np.where(valid, np.cos(1.5 * z1) + 0.8 * np.sin(2.0 * z2),
+                      0.0)
+    y = y / n_valid + 0.1 * rng.standard_normal(args.rows)
     data = build_regression_dataset(x, y, sequence_lengths=lengths,
                                     chunk_size=args.chunk)
     print(f"data generated in {time.time()-t0:.1f}s "

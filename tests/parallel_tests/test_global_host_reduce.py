@@ -56,3 +56,19 @@ def test_sum_and_max_across_multidevice_hosts(tmp_path):
     assert result_line, outs[0][0]
     got = json.loads(result_line[0][len("RESULT "):])
     assert np.allclose(got, [800.0, 7.0, 24.0]), got
+
+
+def test_reduce_program_memoized():
+    """Repeated engine constructions must reuse one compiled collective
+    per (ops, mesh) pair instead of retracing a fresh closure each call
+    (remote compiles cost minutes through the TPU relay)."""
+    from jax.sharding import Mesh
+    import jax
+    from xgpr_tpu.parallel import distributed as dist
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    fn_a = dist._host_reduce_program(("sum", "max"), mesh)
+    fn_b = dist._host_reduce_program(("sum", "max"), mesh)
+    fn_c = dist._host_reduce_program(("max",), mesh)
+    assert fn_a is fn_b
+    assert fn_c is not fn_a

@@ -158,9 +158,19 @@ def cg_fit(engine, preconditioner=None, tol=1e-6, max_iter=500,
                                             max_iter, tol, verbose)
     weights = x_k[:, 0] * ndatapoints
     if not converged:
-        warnings.warn("CG hit max_iter before reaching tol; the returned "
-                      "weights are usable but a larger preconditioner "
-                      "rank or looser tol may fit better.")
+        if n_iter >= max_iter:
+            warnings.warn("CG hit max_iter before reaching tol; the "
+                          "returned weights are usable but a larger "
+                          "preconditioner rank or looser tol may fit "
+                          "better.")
+        else:
+            # Early exit with unconverged columns = every remaining
+            # column was frozen by the breakdown guard: the system is
+            # near-singular at these hyperparameters.
+            warnings.warn("CG froze numerically broken-down columns "
+                          "before reaching tol; the returned weights are "
+                          "usable but the system is near-singular at "
+                          "these hyperparameters.")
     if verbose:
         print(f"CG iterations: {n_iter}")
     return weights, n_iter, losses
