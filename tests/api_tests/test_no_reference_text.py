@@ -18,3 +18,42 @@ def test_no_literal_text_shared_with_reference():
     result = subprocess.run([sys.executable, CHECKER],
                             capture_output=True, text=True, check=False)
     assert result.returncode == 0, result.stdout + result.stderr
+
+
+def test_checker_sees_line_split_literals():
+    """The corpus normalizer must join implicit string concatenations:
+    a literal the reference splits across lines ('"...part "' newline
+    '"two..."') has to match the joined text, or the guard silently
+    misses exactly the strings most likely to be copied (this blind
+    spot shipped 11 verbatim strings through round 3's guard)."""
+    sys.path.insert(0, os.path.join(REPO_ROOT, "scripts"))
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("_chk", CHECKER)
+    chk = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(chk)
+
+    raw = 'raise ValueError("The first half of a message that is "\n' \
+          '                 "split across two source lines.")'
+    corpus = chk._normalize(chk._join_split_literals(raw))
+    joined = chk._normalize(
+        "The first half of a message that is split across two source "
+        "lines.")
+    assert joined in corpus
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference tree not present")
+def test_reference_corpus_contains_joined_literal():
+    """End-to-end on the real corpus: a literal the reference source
+    splits across lines (sorf_kernel_baseclass.py:68) must be findable
+    as one joined string."""
+    sys.path.insert(0, os.path.join(REPO_ROOT, "scripts"))
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("_chk2", CHECKER)
+    chk = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(chk)
+    corpus = chk._reference_corpus()
+    probe = chk._normalize(
+        "The dimensionality of the input is inappropriate for the "
+        "kernel you have selected.")
+    assert probe in corpus
