@@ -17,10 +17,22 @@ hyperparameters come from real NMLL tuning):
                Cholesky, one full-data pass): |approx-exact|/|exact|
                must be within the 0.1% north-star tolerance.
 
-Per-phase wall-clock and the NMLL delta are printed as one JSON line and
-written to NORTHSTAR_r04.json at the repo root.
+Per-phase wall-clock and the NMLL delta accumulate in
+<state-dir>/result.json; the verify phase writes the final artifact to
+NORTHSTAR_r04.json at the repo root.
 
-    python scripts/million_point_tune_fit.py --rows 1000000 --stacked
+The phases can run in ONE process (--phase all, the default) or as
+separate processes sharing --state-dir (dataset .npy files + the
+running result.json).  Separate processes are how this environment's
+TPU relay stays alive: its worker intermittently dies 15-20 minutes
+into a single long dispatch-heavy session, and a fresh client per phase
+both shortens sessions and lets a crashed phase retry alone with every
+earlier phase's compile cache already persistent.
+
+    python scripts/million_point_tune_fit.py --stacked            # one process
+    for p in data tune fit verify; do                              # per phase
+        python scripts/million_point_tune_fit.py --stacked --phase $p
+    done
 """
 import os as _os
 import sys as _sys
@@ -30,46 +42,34 @@ import json
 import time
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=1_000_000)
-    ap.add_argument("--dim", type=int, default=64)
-    ap.add_argument("--seq-len", type=int, default=16)
-    ap.add_argument("--conv-width", type=int, default=9)
-    ap.add_argument("--num-rffs", type=int, default=8192)
-    ap.add_argument("--tune-rffs", type=int, default=2048)
-    ap.add_argument("--tune-rows", type=int, default=100_000,
-                    help="subsample size for crude tuning")
-    ap.add_argument("--chunk", type=int, default=16384)
-    ap.add_argument("--max-rank", type=int, default=512)
-    ap.add_argument("--max-bayes-iter", type=int, default=10)
-    ap.add_argument("--slq-refine", action="store_true",
-                    help="follow crude tuning with SLQ-scored Powell "
-                         "refinement on the full data")
-    ap.add_argument("--backend", default=None)
-    ap.add_argument("--stacked", action="store_true",
-                    help="raise the stacked limit so the dataset is "
-                         "held device-resident (needs the HBM headroom)")
-    ap.add_argument("--out", default=None,
-                    help="artifact path (default NORTHSTAR_r04.json)")
-    args = ap.parse_args()
+def _result_path(args):
+    return _os.path.join(args.state_dir, "result.json")
 
-    import jax
-    if args.backend:
-        jax.config.update("jax_platforms", args.backend)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+def _load_result(args):
+    try:
+        with open(_result_path(args)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_result(args, result):
+    _os.makedirs(args.state_dir, exist_ok=True)
+    with open(_result_path(args), "w") as fh:
+        json.dump(result, fh, indent=1)
+
+
+def phase_data(args):
+    """Generate the synthetic corpus and persist it to the state dir."""
     import numpy as np
-    from xgpr_tpu import GPRegression, build_regression_dataset
-    if args.stacked:
-        from xgpr_tpu import config as xcfg
-        xcfg.set_stacked_limit(4 * 10 ** 9)
-
-    result = {"rows": args.rows, "num_rffs": args.num_rffs,
-              "tune_rffs": args.tune_rffs, "tune_rows": args.tune_rows,
-              "max_rank": args.max_rank, "kernel": "Conv1dRBF"}
-
+    paths = [_os.path.join(args.state_dir, n)
+             for n in ("x.npy", "y.npy", "lengths.npy")]
+    if all(_os.path.exists(p) for p in paths):
+        x = np.load(paths[0], mmap_mode="r")
+        if x.shape == (args.rows, args.seq_len, args.dim):
+            print("data already present; skipping generation", flush=True)
+            return
     rng = np.random.default_rng(0)
     t0 = time.time()
     L, D = args.seq_len, args.dim
@@ -97,21 +97,46 @@ def main():
         y += np.where(valid, np.cos(1.5 * z1) + 0.8 * np.sin(2.0 * z2),
                       0.0)
     y = y / n_valid + 0.1 * rng.standard_normal(args.rows)
-    data = build_regression_dataset(x, y, sequence_lengths=lengths,
-                                    chunk_size=args.chunk)
+    _os.makedirs(args.state_dir, exist_ok=True)
+    np.save(paths[0], x)
+    np.save(paths[1], y)
+    np.save(paths[2], lengths)
     print(f"data generated in {time.time()-t0:.1f}s "
-          f"({x.nbytes/1e9:.2f} GB)", flush=True)
+          f"({x.nbytes/1e9:.2f} GB) -> {args.state_dir}", flush=True)
 
-    # ---- Phase 1: TUNE ------------------------------------------------
+
+def _load_data(args):
+    import numpy as np
+    x = np.load(_os.path.join(args.state_dir, "x.npy"))
+    y = np.load(_os.path.join(args.state_dir, "y.npy"))
+    lengths = np.load(_os.path.join(args.state_dir, "lengths.npy"))
+    return x, y, lengths
+
+
+def _make_model(args, num_rffs):
+    from xgpr_tpu import GPRegression
+    return GPRegression(num_rffs=num_rffs,
+                        variance_rffs=min(512, num_rffs // 4),
+                        kernel_choice="Conv1dRBF",
+                        kernel_settings={"conv_width": args.conv_width},
+                        verbose=True)
+
+
+def phase_tune(args):
+    import numpy as np
+    from xgpr_tpu import build_regression_dataset
+    x, y, lengths = _load_data(args)
+    result = _load_result(args)
+    result.update({"rows": args.rows, "num_rffs": args.num_rffs,
+                   "tune_rffs": args.tune_rffs,
+                   "tune_rows": args.tune_rows,
+                   "max_rank": args.max_rank, "kernel": "Conv1dRBF"})
+
     n_sub = min(args.tune_rows, args.rows)
     sub = build_regression_dataset(
         x[:n_sub], y[:n_sub], sequence_lengths=lengths[:n_sub],
         chunk_size=args.chunk)
-    model = GPRegression(num_rffs=args.tune_rffs,
-                         variance_rffs=min(512, args.tune_rffs // 4),
-                         kernel_choice="Conv1dRBF",
-                         kernel_settings={"conv_width": args.conv_width},
-                         verbose=True)
+    model = _make_model(args, args.tune_rffs)
     t0 = time.time()
     hparams, n_feval, tune_score = model.tune_hyperparams_crude(
         sub, max_bayes_iter=args.max_bayes_iter)
@@ -123,6 +148,8 @@ def main():
           f"in {result['tune_crude_sec']:.1f}s", flush=True)
 
     if args.slq_refine:
+        data = build_regression_dataset(
+            x, y, sequence_lengths=lengths, chunk_size=args.chunk)
         t0 = time.time()
         hparams, _, best = model.tune_hyperparams(
             data, max_iter=15, tuning_method="Powell",
@@ -134,10 +161,19 @@ def main():
               f"score={best:.2f} in {result['tune_slq_refine_sec']:.1f}s",
               flush=True)
     result["tuned_hyperparams"] = list(map(float, np.asarray(hparams)))
+    _save_result(args, result)
 
-    # ---- Phase 2: FIT --------------------------------------------------
-    model.num_rffs = args.num_rffs
-    model.set_hyperparams(np.asarray(hparams), data)
+
+def phase_fit(args):
+    import numpy as np
+    from xgpr_tpu import build_regression_dataset
+    x, y, lengths = _load_data(args)
+    result = _load_result(args)
+    hparams = np.asarray(result["tuned_hyperparams"])
+    data = build_regression_dataset(x, y, sequence_lengths=lengths,
+                                    chunk_size=args.chunk)
+    model = _make_model(args, args.num_rffs)
+    model.set_hyperparams(hparams, data)
 
     t0 = time.time()
     precond, ratio = model.build_preconditioner(
@@ -157,6 +193,7 @@ def main():
           f"({args.rows * n_iter / result['fit_sec']:.3g} row-iters/s)",
           flush=True)
 
+    rng = np.random.default_rng(1)
     idx = rng.choice(args.rows, min(20000, args.rows // 2),
                      replace=False)
     preds = model.predict(x[idx], sequence_lengths=lengths[idx])
@@ -164,9 +201,21 @@ def main():
         np.sqrt(np.mean((preds - y[idx]) ** 2)))
     print(f"train-sample RMSE: {result['train_sample_rmse']:.4f} "
           "(noise floor 0.1)", flush=True)
+    _save_result(args, result)
 
-    # ---- Phase 3: VERIFY NMLL -------------------------------------------
-    hp = np.asarray(hparams)
+
+def phase_verify(args):
+    import numpy as np
+    from xgpr_tpu import build_regression_dataset
+    from xgpr_tpu import config as xcfg
+    x, y, lengths = _load_data(args)
+    result = _load_result(args)
+    hp = np.asarray(result["tuned_hyperparams"])
+    data = build_regression_dataset(x, y, sequence_lengths=lengths,
+                                    chunk_size=args.chunk)
+    model = _make_model(args, args.num_rffs)
+    model.set_hyperparams(hp, data)
+
     t0 = time.time()
     approx = model.approximate_nmll(
         hp, data, manual_settings={"max_rank": args.max_rank,
@@ -176,9 +225,30 @@ def main():
     print(f"SLQ NMLL: {approx:.4f} ({result['slq_nmll_sec']:.1f}s)",
           flush=True)
 
-    t0 = time.time()
-    exact = model.exact_nmll(hp, data)
-    result["exact_nmll_sec"] = time.time() - t0
+    # Route the exact evaluation through the streaming engine: its
+    # design-mat program depends only on the superbatch shape, so it can
+    # be WARMED on a small same-chunk-size dataset first instead of
+    # compiling a fresh full-size stacked program (a multi-minute remote
+    # compile mid-session is the relay's least reliable operation).
+    restore_limit = 4 * 10 ** 9 if args.stacked else 10 ** 9
+    xcfg.set_stacked_limit(1)
+    try:
+        n_warm = 2 * args.chunk
+        if args.rows > 4 * n_warm:
+            warm = build_regression_dataset(
+                x[:n_warm], y[:n_warm],
+                sequence_lengths=lengths[:n_warm],
+                chunk_size=args.chunk)
+            t0 = time.time()
+            model.exact_nmll(hp, warm)
+            print(f"exact-NMLL streaming programs warmed "
+                  f"({time.time()-t0:.1f}s)", flush=True)
+
+        t0 = time.time()
+        exact = model.exact_nmll(hp, data)
+        result["exact_nmll_sec"] = time.time() - t0
+    finally:
+        xcfg.set_stacked_limit(restore_limit)
     result["exact_nmll"] = float(exact)
     delta = abs(approx - exact) / abs(exact)
     result["nmll_rel_delta"] = float(delta)
@@ -187,6 +257,7 @@ def main():
     print(f"exact NMLL: {exact:.4f} ({result['exact_nmll_sec']:.1f}s); "
           f"rel delta {delta:.2e} "
           f"{'PASS' if delta < 1e-3 else 'FAIL'} (tol 1e-3)", flush=True)
+    _save_result(args, result)
 
     out_path = args.out or _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
@@ -194,6 +265,54 @@ def main():
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--seq-len", type=int, default=16)
+    ap.add_argument("--conv-width", type=int, default=9)
+    ap.add_argument("--num-rffs", type=int, default=8192)
+    ap.add_argument("--tune-rffs", type=int, default=2048)
+    ap.add_argument("--tune-rows", type=int, default=100_000,
+                    help="subsample size for crude tuning")
+    ap.add_argument("--chunk", type=int, default=16384)
+    ap.add_argument("--max-rank", type=int, default=512)
+    ap.add_argument("--max-bayes-iter", type=int, default=15)
+    ap.add_argument("--slq-refine", action="store_true",
+                    help="follow crude tuning with SLQ-scored Powell "
+                         "refinement on the full data")
+    ap.add_argument("--backend", default=None)
+    ap.add_argument("--stacked", action="store_true",
+                    help="raise the stacked limit so the dataset is "
+                         "held device-resident (needs the HBM headroom)")
+    ap.add_argument("--phase", default="all",
+                    choices=["all", "data", "tune", "fit", "verify"],
+                    help="run one pipeline phase (state shared via "
+                         "--state-dir) or everything in-process")
+    ap.add_argument("--state-dir", default="/tmp/northstar_state")
+    ap.add_argument("--out", default=None,
+                    help="artifact path (default NORTHSTAR_r04.json)")
+    args = ap.parse_args()
+
+    import jax
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    if args.stacked:
+        from xgpr_tpu import config as xcfg
+        xcfg.set_stacked_limit(4 * 10 ** 9)
+
+    phases = {"data": phase_data, "tune": phase_tune,
+              "fit": phase_fit, "verify": phase_verify}
+    if args.phase == "all":
+        for name in ("data", "tune", "fit", "verify"):
+            phases[name](args)
+    else:
+        phases[args.phase](args)
 
 
 if __name__ == "__main__":
