@@ -164,9 +164,20 @@ class StreamingShardedEngine(ShardedEngine):
     def _stream_steps(self, keep_rng=None, keep_prob=None):
         """Device-resident superbatches with one-deep prefetch: the
         host->device transfer of step k+1 is issued before step k is
-        yielded to the consumer, so it overlaps the consumer's compute."""
+        yielded to the consumer, so it overlaps the consumer's compute.
+
+        Backpressure is essential, not optional: device_put is async and
+        every pending copy pins its host-side buffer, so on a slow
+        device link an unthrottled stream enqueues the whole pass's
+        superbatches and the HOST runs out of memory (observed: 130 GB
+        RSS and an OOM kill at 1M rows x 25 CG iterations through a
+        ~16 MB/s TPU relay).  Waiting for the in-flight copy before
+        issuing the next keeps at most two superbatches' host buffers
+        alive while preserving the transfer/compute overlap."""
         prev = None
         for arrs in self._host_superbatches(keep_rng, keep_prob):
+            if prev is not None:
+                jax.block_until_ready(prev)
             nxt = self._put(arrs)
             if prev is not None:
                 yield prev
