@@ -161,29 +161,33 @@ class StreamingShardedEngine(ShardedEngine):
                    np.zeros((s_local, chunk), dtype=dt),
                    np.zeros((s_local, chunk), dtype=ydt))
 
-    def _stream_steps(self, keep_rng=None, keep_prob=None):
-        """Device-resident superbatches with one-deep prefetch: the
-        host->device transfer of step k+1 is issued before step k is
-        yielded to the consumer, so it overlaps the consumer's compute.
+    # Maximum host->device superbatch copies in flight.  Backpressure is
+    # essential, not optional: device_put is async and every pending
+    # copy pins its host-side buffer, so on a slow device link an
+    # unthrottled stream enqueues the whole pass's superbatches and the
+    # HOST runs out of memory (observed: 130 GB RSS and an OOM kill at
+    # 1M rows x 25 CG iterations through a TPU relay).  A depth of ONE,
+    # however, serializes the copies and forfeits the link's parallel
+    # transfer bandwidth (measured ~6x slower CG through the same
+    # relay); a small queue bounds host memory at depth x superbatch
+    # bytes while keeping several copies in flight.
+    PREFETCH_DEPTH = 8
 
-        Backpressure is essential, not optional: device_put is async and
-        every pending copy pins its host-side buffer, so on a slow
-        device link an unthrottled stream enqueues the whole pass's
-        superbatches and the HOST runs out of memory (observed: 130 GB
-        RSS and an OOM kill at 1M rows x 25 CG iterations through a
-        ~16 MB/s TPU relay).  Waiting for the in-flight copy before
-        issuing the next keeps at most two superbatches' host buffers
-        alive while preserving the transfer/compute overlap."""
-        prev = None
+    def _stream_steps(self, keep_rng=None, keep_prob=None):
+        """Device-resident superbatches with bounded-depth prefetch: up
+        to PREFETCH_DEPTH host->device copies run concurrently ahead of
+        the consumer, overlapping transfer with compute; admission of a
+        new copy blocks on the oldest in-flight one (see PREFETCH_DEPTH
+        for why both the bound and the depth matter)."""
+        from collections import deque
+        pending = deque()
         for arrs in self._host_superbatches(keep_rng, keep_prob):
-            if prev is not None:
-                jax.block_until_ready(prev)
-            nxt = self._put(arrs)
-            if prev is not None:
-                yield prev
-            prev = nxt
-        if prev is not None:
-            yield prev
+            while len(pending) >= self.PREFETCH_DEPTH:
+                jax.block_until_ready(pending[0])
+                yield pending.popleft()
+            pending.append(self._put(arrs))
+        while pending:
+            yield pending.popleft()
 
     # ------------------------------------------------------------------
     # drivers: same programs as ShardedEngine, fed per superbatch.
