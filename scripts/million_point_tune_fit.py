@@ -184,9 +184,10 @@ def phase_fit(args):
           f"({result['precond_sec']:.1f}s)", flush=True)
 
     t0 = time.time()
-    n_iter, _ = model.fit(data, preconditioner=precond, tol=1e-6,
+    n_iter, _ = model.fit(data, preconditioner=precond, tol=args.fit_tol,
                           mode="cg", suppress_var=True,
                           run_diagnostics=True)
+    result["fit_tol"] = args.fit_tol
     result["fit_sec"] = time.time() - t0
     result["cg_iterations"] = int(n_iter)
     print(f"CG fit: {n_iter} iterations in {result['fit_sec']:.1f}s "
@@ -280,6 +281,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=16384)
     ap.add_argument("--max-rank", type=int, default=512)
     ap.add_argument("--max-bayes-iter", type=int, default=15)
+    ap.add_argument("--fit-tol", type=float, default=1e-6)
     ap.add_argument("--slq-refine", action="store_true",
                     help="follow crude tuning with SLQ-scored Powell "
                          "refinement on the full data")
