@@ -34,16 +34,23 @@ def _join_split_literals(text):
     """Collapse implicit string concatenations in raw source text.
 
     A literal split across lines in the reference source
-    (``"...part one "`` newline ``"part two..."``) leaves a
+    (``"...part one "`` newline ``"part two..."`` -- or newline
+    ``f"part two..."``, any quote style, any prefix letters) leaves a
     quote-whitespace-quote juncture in the corpus that would otherwise
     prevent the joined literal from ever matching.  Deleting those
-    junctures reconstructs the literal's full text.  Over-joining
-    unrelated adjacent strings only makes the guard stricter.
+    junctures reconstructs the literal's full text.
+
+    The deletion is deliberately aggressive (it also eats quote pairs
+    that genuinely appear INSIDE a literal's text, altering that
+    literal), so matching runs against BOTH the joined and the raw
+    corpus -- an intact literal always matches raw, a split one matches
+    joined, and the over-deletion cannot open a blind spot.
     """
-    return re.sub(r"\"\s*\"|'\s*'", "", text)
+    return re.sub(r"[\"']\s*[fFrRbBuU]{0,3}[\"']", "", text)
 
 
-def _reference_corpus():
+def _reference_corpora():
+    """(raw, split-literals-joined) normalised reference text."""
     chunks = []
     for root, _, files in os.walk(REFERENCE):
         for fname in files:
@@ -56,7 +63,8 @@ def _reference_corpus():
                         chunks.append(fh.read())
                 except OSError:
                     continue
-    return _normalize(_join_split_literals("\n".join(chunks)))
+    text = "\n".join(chunks)
+    return _normalize(text), _normalize(_join_split_literals(text))
 
 
 def _repo_literals():
@@ -75,13 +83,30 @@ def _repo_literals():
                 if isinstance(node, ast.Constant) and \
                         isinstance(node.value, str):
                     yield path, node.lineno, node.value
+                elif isinstance(node, ast.JoinedStr):
+                    # An f-string -- which is also what an implicit
+                    # '"..." f"..."' concatenation parses to, so its
+                    # constant text must be checked as the joined runs
+                    # the reader sees, not as sub-10-word fragments.
+                    # Runs break at formatted values (the reference
+                    # text has a literal "{...}" there instead).
+                    run = []
+                    for part in node.values:
+                        if isinstance(part, ast.Constant) and \
+                                isinstance(part.value, str):
+                            run.append(part.value)
+                        elif run:
+                            yield path, node.lineno, "".join(run)
+                            run = []
+                    if run:
+                        yield path, node.lineno, "".join(run)
 
 
 def main():
     if not os.path.isdir(REFERENCE):
         print("reference tree not present; nothing to check")
         return 0
-    corpus = _reference_corpus()
+    corpora = _reference_corpora()
     failures = []
     for path, lineno, literal in _repo_literals():
         norm = _normalize(literal)
@@ -92,7 +117,8 @@ def main():
         pieces = [norm] + [s.strip() for s in
                            re.split(r"[.!?]", norm) if s.strip()]
         for piece in pieces:
-            if len(piece.split()) >= MIN_WORDS and piece in corpus:
+            if len(piece.split()) >= MIN_WORDS and \
+                    any(piece in corpus for corpus in corpora):
                 failures.append((path, lineno, piece[:100]))
                 break
     if failures:

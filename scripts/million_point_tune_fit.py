@@ -19,7 +19,10 @@ hyperparameters come from real NMLL tuning):
 
 Per-phase wall-clock and the NMLL delta accumulate in
 <state-dir>/result.json; the verify phase writes the final artifact to
-NORTHSTAR_r04.json at the repo root.
+NORTHSTAR_r05.json at the repo root.  Expensive stage products persist
+to the state dir (precond.npz, weights.npy, the slq_nmll field), so a
+relay crash mid-phase only costs the stage in flight; the companion
+retry loop is scripts/northstar_driver.py.
 
 The phases can run in ONE process (--phase all, the default) or as
 separate processes sharing --state-dir (dataset .npy files + the
@@ -167,36 +170,63 @@ def phase_tune(args):
 def phase_fit(args):
     import numpy as np
     from xgpr_tpu import build_regression_dataset
-    x, y, lengths = _load_data(args)
+    from xgpr_tpu.preconditioners.nystrom import NystromPreconditioner
     result = _load_result(args)
+    if result.get("train_sample_rmse") is not None:
+        print("fit already complete; skipping", flush=True)
+        return
+    x, y, lengths = _load_data(args)
     hparams = np.asarray(result["tuned_hyperparams"])
     data = build_regression_dataset(x, y, sequence_lengths=lengths,
                                     chunk_size=args.chunk)
     model = _make_model(args, args.num_rffs)
     model.set_hyperparams(hparams, data)
 
-    t0 = time.time()
-    precond, ratio = model.build_preconditioner(
-        data, max_rank=args.max_rank, method="srht_2")
-    result["precond_sec"] = time.time() - t0
-    result["precond_ratio"] = float(ratio)
-    print(f"preconditioner rank {args.max_rank}: ratio={ratio:.3f} "
-          f"({result['precond_sec']:.1f}s)", flush=True)
+    # Each expensive stage persists its product (preconditioner ->
+    # .npz, CG weights -> .npy) so a relay-worker crash mid-phase costs
+    # only the stage in flight: the retry reloads everything already
+    # proven instead of re-dispatching it against a fragile link.
+    pc_path = _os.path.join(args.state_dir, "precond.npz")
+    if _os.path.exists(pc_path):
+        precond = NystromPreconditioner.from_state(np.load(pc_path))
+        ratio = precond.achieved_ratio
+        print(f"preconditioner reloaded from {pc_path}: "
+              f"ratio={ratio:.3f}", flush=True)
+    else:
+        t0 = time.time()
+        precond, ratio = model.build_preconditioner(
+            data, max_rank=args.max_rank, method="srht_2")
+        result["precond_sec"] = time.time() - t0
+        result["precond_ratio"] = float(ratio)
+        np.savez(pc_path, **precond.to_state())
+        _save_result(args, result)
+        print(f"preconditioner rank {args.max_rank}: ratio={ratio:.3f} "
+              f"({result['precond_sec']:.1f}s)", flush=True)
 
-    t0 = time.time()
-    n_iter, _ = model.fit(data, preconditioner=precond, tol=args.fit_tol,
-                          mode="cg", suppress_var=True,
-                          run_diagnostics=True)
-    result["fit_tol"] = args.fit_tol
-    result["fit_sec"] = time.time() - t0
-    result["cg_iterations"] = int(n_iter)
-    print(f"CG fit: {n_iter} iterations in {result['fit_sec']:.1f}s "
-          f"({args.rows * n_iter / result['fit_sec']:.3g} row-iters/s)",
-          flush=True)
+    w_path = _os.path.join(args.state_dir, "weights.npy")
+    if result.get("cg_iterations") is not None and _os.path.exists(w_path):
+        model.weights = np.load(w_path)
+        model.exact_var_calculation = True
+        model.var = None
+        print("CG weights reloaded; skipping solve", flush=True)
+    else:
+        t0 = time.time()
+        n_iter, _ = model.fit(data, preconditioner=precond,
+                              tol=args.fit_tol, mode="cg",
+                              suppress_var=True, run_diagnostics=True)
+        result["fit_tol"] = args.fit_tol
+        result["fit_sec"] = time.time() - t0
+        result["cg_iterations"] = int(n_iter)
+        np.save(w_path, np.asarray(model.weights))
+        _save_result(args, result)
+        print(f"CG fit: {n_iter} iterations in {result['fit_sec']:.1f}s "
+              f"({args.rows * n_iter / result['fit_sec']:.3g} "
+              "row-iters/s)", flush=True)
 
     rng = np.random.default_rng(1)
     idx = rng.choice(args.rows, min(20000, args.rows // 2),
                      replace=False)
+    idx.sort()
     preds = model.predict(x[idx], sequence_lengths=lengths[idx])
     result["train_sample_rmse"] = float(
         np.sqrt(np.mean((preds - y[idx]) ** 2)))
@@ -217,14 +247,19 @@ def phase_verify(args):
     model = _make_model(args, args.num_rffs)
     model.set_hyperparams(hp, data)
 
-    t0 = time.time()
-    approx = model.approximate_nmll(
-        hp, data, manual_settings={"max_rank": args.max_rank,
-                                   "preconditioner_mode": "srht_2"})
-    result["slq_nmll_sec"] = time.time() - t0
-    result["slq_nmll"] = float(approx)
-    print(f"SLQ NMLL: {approx:.4f} ({result['slq_nmll_sec']:.1f}s)",
-          flush=True)
+    if result.get("slq_nmll") is not None:
+        approx = result["slq_nmll"]
+        print(f"SLQ NMLL reloaded: {approx:.4f}", flush=True)
+    else:
+        t0 = time.time()
+        approx = model.approximate_nmll(
+            hp, data, manual_settings={"max_rank": args.max_rank,
+                                       "preconditioner_mode": "srht_2"})
+        result["slq_nmll_sec"] = time.time() - t0
+        result["slq_nmll"] = float(approx)
+        _save_result(args, result)
+        print(f"SLQ NMLL: {approx:.4f} ({result['slq_nmll_sec']:.1f}s)",
+              flush=True)
 
     # Route the exact evaluation through the streaming engine: its
     # design-mat program depends only on the superbatch shape, so it can
@@ -262,7 +297,7 @@ def phase_verify(args):
 
     out_path = args.out or _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-        "NORTHSTAR_r04.json")
+        "NORTHSTAR_r05.json")
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))

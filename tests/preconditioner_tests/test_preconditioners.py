@@ -47,3 +47,31 @@ def test_sampled_ratio_estimator(model_and_data):
                                         max_rank=256)
     assert est_ratio < 1.5 * exact_ratio + 1e-10
     assert exact_ratio < 10 * est_ratio + 1e-10
+
+
+def test_state_roundtrip(model_and_data, tmp_path):
+    """A to_state/from_state roundtrip through an .npz must reproduce
+    every solver-facing action of the preconditioner exactly (this is
+    what lets a crashed long fit resume without rebuilding)."""
+    import numpy as np
+    from xgpr_tpu.preconditioners.nystrom import NystromPreconditioner
+    model, dset = model_and_data
+    precond, _ = model.build_preconditioner(dset, max_rank=256,
+                                            method="srht_2")
+    path = tmp_path / "precond.npz"
+    np.savez(path, **precond.to_state())
+    reborn = NystromPreconditioner.from_state(np.load(path))
+
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((precond.u_mat.shape[0], 3))
+    for method in ("batch_matvec", "rev_batch_matvec",
+                   "matvec_for_sampling"):
+        a = np.asarray(getattr(precond, method)(v))
+        b = np.asarray(getattr(reborn, method)(v))
+        assert np.array_equal(a, b), method
+    assert reborn.get_rank() == precond.get_rank()
+    assert np.isclose(reborn.get_logdet(), precond.get_logdet())
+    assert np.allclose(np.asarray(reborn.get_zty()),
+                       np.asarray(precond.get_zty()))
+    assert np.isclose(reborn.get_yty(), precond.get_yty())
+    assert np.isclose(reborn.achieved_ratio, precond.achieved_ratio)

@@ -68,20 +68,26 @@ def _check_sequence_lengths(seqlength, xdata, ydata):
     """Sequence-length contract (dataset_builder.py:337-373)."""
     if seqlength is not None:
         if xdata.ndim != 3:
-            raise RuntimeError("sequence_lengths must be None if using "
-                               "fixed vector input.")
+            raise RuntimeError(
+                "A sequence_lengths array only makes sense for 3d "
+                "(sequence) input; 2d fixed-vector data takes None.")
         if not isinstance(seqlength, np.ndarray) or seqlength.ndim != 1:
-            raise RuntimeError("sequence_lengths must be None or a 1d "
-                               "numpy array.")
+            raise RuntimeError(
+                "sequence_lengths, when supplied, is a 1d numpy array "
+                "(one entry per datapoint).")
         if seqlength.shape[0] != ydata.shape[0]:
-            raise RuntimeError("sequence_lengths must have the same length "
-                               "as ydata.")
+            raise RuntimeError(
+                f"Got {seqlength.shape[0]} sequence lengths for "
+                f"{ydata.shape[0]} datapoints; the counts must agree.")
         if not np.issubdtype(seqlength.dtype, np.integer):
-            raise RuntimeError("sequence_lengths must be all integers.")
+            raise RuntimeError(
+                "sequence_lengths needs an integer dtype; got "
+                f"{seqlength.dtype}.")
         if seqlength.min() <= 0 or seqlength.max() > xdata.shape[1]:
             raise RuntimeError(
-                "sequence_length values must be in the range "
-                "(1, num_elements) for the corresponding input array.")
+                "Each sequence length must lie in [1, X.shape[1]] -- at "
+                "least one element and no more than the padded axis "
+                "holds.")
     elif xdata.ndim == 3:
         raise RuntimeError(
             "3d input (sequences, time series, graphs) needs a "

@@ -431,8 +431,10 @@ class GPRegression(ModelBaseclass):
         if mode == "exact":
             if self.kernel.get_num_rffs() > constants.MAX_CLOSED_FORM_RFFS:
                 raise RuntimeError(
-                    "You specified 'exact' fitting, but the number of rffs "
-                    f"is > {constants.MAX_CLOSED_FORM_RFFS}.")
+                    "Closed-form ('exact') fitting is capped at "
+                    f"{constants.MAX_CLOSED_FORM_RFFS} rffs; this kernel "
+                    f"produces {self.kernel.get_num_rffs()}. Use mode='cg' "
+                    "or lower num_rffs.")
             with phase_timer(times, "exact_solve"):
                 self.weights, n_iter, losses = calc_weights_exact(engine)
                 block(self.weights)

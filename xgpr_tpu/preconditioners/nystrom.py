@@ -145,23 +145,60 @@ class NystromPreconditioner:
         self.z_trans_y = zty
         self.y_trans_y = yty
 
+    def _reweight_range(self, vec, spectrum):
+        """Apply U diag(spectrum) U^T + (I - U U^T) to (M, K) columns.
+
+        Every preconditioner action is the same rank-structured operator
+        with a different spectrum on the captured subspace: split ``vec``
+        into its coordinates in the range of U plus an orthogonal
+        remainder, rescale the range coordinates by ``spectrum``, and
+        pass the remainder through untouched.
+        """
+        coords = jnp.matmul(self.u_mat.T, vec, precision="highest")
+        remainder = vec - jnp.matmul(self.u_mat, coords,
+                                     precision="highest")
+        return remainder + jnp.matmul(self.u_mat,
+                                      spectrum[:, None] * coords,
+                                      precision="highest")
+
     def batch_matvec(self, xvec):
         """P^{-1} @ xvec for (M, K) columns."""
-        xprod = self.u_mat.T @ xvec
-        xprod1 = self.u_mat @ (self.inv_eig[:, None] * self.prefactor
-                               * xprod)
-        xprod2 = xvec - (self.u_mat @ xprod)
-        return xprod2 + xprod1
+        return self._reweight_range(xvec, self.prefactor * self.inv_eig)
 
     def rev_batch_matvec(self, xvec):
         """P @ xvec (non-inverted)."""
-        xprod = self.u_mat.T @ xvec
-        xprod1 = self.u_mat @ (self.eig[:, None] * xprod) / self.prefactor
-        xprod2 = xvec - (self.u_mat @ xprod)
-        return xprod2 + xprod1
+        return self._reweight_range(xvec, self.eig / self.prefactor)
 
     def get_rank(self):
         return int(self.inv_eig.shape[0])
+
+    def to_state(self):
+        """Numpy snapshot sufficient to rebuild this object without an
+        engine or any dataset pass -- lets a long fit survive a process
+        restart by persisting the built preconditioner to disk."""
+        state = {"u_mat": np.asarray(self.u_mat),
+                 "eig": np.asarray(self.eig),
+                 "achieved_ratio": np.float64(self.achieved_ratio),
+                 "prefactor": np.float64(self.prefactor),
+                 "y_trans_y": np.float64(self.y_trans_y)}
+        if self.z_trans_y is not None:
+            state["z_trans_y"] = np.asarray(self.z_trans_y)
+        return state
+
+    @classmethod
+    def from_state(cls, state):
+        """Rebuild from a ``to_state`` snapshot (e.g. ``np.load`` of an
+        ``.npz`` the snapshot was saved into)."""
+        self = cls.__new__(cls)
+        self.u_mat = jnp.asarray(state["u_mat"])
+        self.eig = jnp.asarray(state["eig"])
+        self.inv_eig = jnp.where(self.eig > 1e-14, 1.0 / self.eig, 0.0)
+        self.achieved_ratio = float(state["achieved_ratio"])
+        self.prefactor = float(state["prefactor"])
+        self.y_trans_y = float(state["y_trans_y"])
+        zty = state["z_trans_y"] if "z_trans_y" in state else None
+        self.z_trans_y = None if zty is None else jnp.asarray(zty)
+        return self
 
     def get_logdet(self):
         """log det P, used to correct SLQ logdet estimates
@@ -172,12 +209,9 @@ class NystromPreconditioner:
     def matvec_for_sampling(self, xvec):
         """P^{1/2} @ xvec, for drawing N(0, P) probes
         (rand_nys_preconditioners.py:105-119)."""
-        eigvals = jnp.sqrt(jnp.clip(self.eig, min=0))
-        prefactor = np.sqrt(1.0 / self.prefactor)
-        xprod = self.u_mat.T @ xvec
-        xprod1 = self.u_mat @ (eigvals[:, None] * prefactor * xprod)
-        xprod2 = xvec - (self.u_mat @ xprod)
-        return xprod1 + xprod2
+        root_spectrum = jnp.sqrt(jnp.clip(self.eig, min=0)
+                                 / self.prefactor)
+        return self._reweight_range(xvec, root_spectrum)
 
     def get_zty(self):
         return self.z_trans_y
