@@ -40,6 +40,15 @@ def test_checker_sees_line_split_literals():
         "lines.")
     assert joined in corpus
 
+    # The juncture may also sit before an f-string continuation
+    # ('"... " f"..."') -- round 4's joiner missed that form and one
+    # verbatim literal slipped through it.
+    raw_f = 'raise ValueError("A literal whose second half is an "\n' \
+            '                 f"f-string piece with {value} inside.")'
+    corpus_f = chk._normalize(chk._join_split_literals(raw_f))
+    assert chk._normalize(
+        "A literal whose second half is an f-string piece") in corpus_f
+
 
 @pytest.mark.skipif(not os.path.isdir("/root/reference"),
                     reason="reference tree not present")
@@ -52,8 +61,9 @@ def test_reference_corpus_contains_joined_literal():
     spec = importlib.util.spec_from_file_location("_chk2", CHECKER)
     chk = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(chk)
-    corpus = chk._reference_corpus()
+    raw_corpus, joined_corpus = chk._reference_corpora()
     probe = chk._normalize(
         "The dimensionality of the input is inappropriate for the "
         "kernel you have selected.")
-    assert probe in corpus
+    assert probe in joined_corpus
+    assert probe not in raw_corpus  # only findable once joined

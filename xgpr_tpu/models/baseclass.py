@@ -74,19 +74,27 @@ class ModelBaseclass:
                _config.config_epoch())
         engine = self._engines.get(key)
         if engine is None:
+            # Release any stale engine BEFORE building the replacement:
+            # a stacked engine pins a device-resident dataset copy, and
+            # holding old + new simultaneously would double peak device
+            # memory exactly when the dataset is largest.
+            self._engines = {}
             import numpy as _np
             import jax as _jax
             n_elements = int(_np.prod(dataset.get_xdim()))
+            # A stacked engine holds each host's shard in that host's
+            # LOCAL devices, so the binding capacity is per-host, not
+            # the device total across hosts.
+            load = n_elements / (_config.stacked_element_limit()
+                                 * max(1, _jax.local_device_count()))
             if _jax.process_count() > 1:
                 # Per-host datasets may be unequal (ragged splits): every
                 # host must make the SAME stacked-vs-streaming choice or
                 # their metadata collectives diverge and the job hangs.
-                # Agree on the largest local size before deciding.
+                # Agree on the worst-loaded host before deciding.
                 from ..parallel.distributed import global_host_reduce
-                n_elements = int(global_host_reduce(
-                    [float(n_elements)], ["max"])[0])
-            fits = n_elements < _config.stacked_element_limit() * max(
-                1, len(_jax.devices()))
+                load = global_host_reduce([load], ["max"])[0]
+            fits = load < 1.0
             if _config.should_shard():
                 if fits:
                     from ..parallel.sharded import ShardedEngine
