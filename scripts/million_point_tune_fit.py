@@ -167,6 +167,97 @@ def phase_tune(args):
     _save_result(args, result)
 
 
+def phase_warm(args):
+    """Compile-cache the fit/verify CG programs WITHOUT the 4 GB upload.
+
+    The relay worker's two fragile operations are long host->device
+    transfers and fresh remote compiles; an attempt that needs both in
+    one window fails at the product of their survival rates.  The fused
+    CG program takes the stacked data as an ARGUMENT, so its HLO only
+    depends on shapes: build the full-size stack from on-device RNG
+    (no host transfer), dispatch the solve once per RHS count the
+    pipeline uses (1 for the fit, nsamples+1 = 26 for the SLQ verify),
+    and let the persistent compile cache capture the executables.  A
+    crash here costs seconds to retry; afterwards the real fit attempt
+    only needs the upload plus a cached execution.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from xgpr_tpu import build_regression_dataset
+    from xgpr_tpu.fitting.engine import Engine
+    from xgpr_tpu.fitting.fused_cg import fused_cg_solve_stacked
+    from xgpr_tpu.preconditioners.nystrom import NystromPreconditioner
+    result = _load_result(args)
+    if result.get("warm_sec") is not None:
+        print("warm already complete; skipping", flush=True)
+        return
+    hparams = np.asarray(result["tuned_hyperparams"])
+
+    rng = np.random.default_rng(123)
+    L, D, width = args.seq_len, args.dim, args.conv_width
+    n_small = args.chunk
+    xs = rng.standard_normal((n_small, L, D)).astype(np.float32)
+    ys = rng.standard_normal(n_small).astype(np.float32)
+    lens = rng.integers(width, L + 1, size=n_small).astype(np.int32)
+    small = build_regression_dataset(xs, ys, sequence_lengths=lens,
+                                     chunk_size=args.chunk)
+    model = _make_model(args, args.num_rffs)
+    model.set_hyperparams(hparams, small)
+    engine = Engine(model.kernel, small, mode="stacked")
+
+    # Swap in a device-GENERATED stack with the real run's shapes.
+    n_chunks = -(-args.rows // args.chunk)
+    dt = engine._stacked["x"].dtype
+    key = jax.random.PRNGKey(0)
+    kx, ky, kr = jax.random.split(key, 3)
+    engine._stacked = {
+        "x": jax.random.normal(kx, (n_chunks, args.chunk, L, D), dt),
+        "y": jax.random.normal(ky, (n_chunks, args.chunk), dt),
+        "l": jnp.full((n_chunks, args.chunk), L, jnp.int32),
+        "m": jnp.ones((n_chunks, args.chunk), dt),
+    }
+    engine._m_host = np.ones((n_chunks, args.chunk))
+    engine.ndatapoints = args.rows
+
+    pc_path = _os.path.join(args.state_dir, "precond.npz")
+    if _os.path.exists(pc_path):
+        precond = NystromPreconditioner.from_state(np.load(pc_path))
+    else:
+        state = {"u_mat": rng.standard_normal(
+                     (args.num_rffs, args.max_rank)).astype(np.float32),
+                 "eig": np.linspace(1.0, 2.0,
+                                    args.max_rank).astype(np.float32),
+                 "achieved_ratio": 0.1, "prefactor": 1.0,
+                 "y_trans_y": 1.0,
+                 "z_trans_y": rng.standard_normal(
+                     args.num_rffs).astype(np.float32)}
+        precond = NystromPreconditioner.from_state(state)
+    lam = model.kernel.get_lambda()
+
+    from xgpr_tpu import config as xcfg
+    t0 = time.time()
+    for n_rhs in (1, 26):
+        rhs = jax.random.normal(kr, (args.num_rffs, n_rhs), dt)
+        tw = time.time()
+        if xcfg.cg_mode() == "looped":
+            # The looped solver dispatches engine.ztzv per iteration;
+            # warm that (much smaller) program per RHS count.
+            np.asarray(engine.ztzv(rhs))
+            print(f"warm looped ztzv K={n_rhs}: compiled+ran "
+                  f"({time.time()-tw:.1f}s)", flush=True)
+        else:
+            # tol is a traced scalar (same program as the real tol);
+            # 1.0 exits the while_loop within a few iterations.
+            out = fused_cg_solve_stacked(engine, rhs, lam, precond,
+                                         max_iter=500, tol=1.0)
+            niter = int(out[2])
+            print(f"warm K={n_rhs}: compiled+ran ({niter} iters, "
+                  f"{time.time()-tw:.1f}s)", flush=True)
+    result["warm_sec"] = time.time() - t0
+    _save_result(args, result)
+
+
 def phase_fit(args):
     import numpy as np
     from xgpr_tpu import build_regression_dataset
@@ -321,11 +412,16 @@ def main():
                     help="follow crude tuning with SLQ-scored Powell "
                          "refinement on the full data")
     ap.add_argument("--backend", default=None)
+    ap.add_argument("--looped-cg", action="store_true",
+                    help="run CG as a Python loop of small matvec "
+                         "dispatches instead of one fused while_loop "
+                         "program (for relays that crash on the big "
+                         "fused compile)")
     ap.add_argument("--stacked", action="store_true",
                     help="raise the stacked limit so the dataset is "
                          "held device-resident (needs the HBM headroom)")
     ap.add_argument("--phase", default="all",
-                    choices=["all", "data", "tune", "fit", "verify"],
+                    choices=["all", "data", "tune", "warm", "fit", "verify"],
                     help="run one pipeline phase (state shared via "
                          "--state-dir) or everything in-process")
     ap.add_argument("--state-dir", default="/tmp/northstar_state")
@@ -342,9 +438,13 @@ def main():
     if args.stacked:
         from xgpr_tpu import config as xcfg
         xcfg.set_stacked_limit(4 * 10 ** 9)
+    if args.looped_cg:
+        from xgpr_tpu import config as xcfg
+        xcfg.set_cg_mode("looped")
 
     phases = {"data": phase_data, "tune": phase_tune,
-              "fit": phase_fit, "verify": phase_verify}
+              "warm": phase_warm, "fit": phase_fit,
+              "verify": phase_verify}
     if args.phase == "all":
         for name in ("data", "tune", "fit", "verify"):
             phases[name](args)

@@ -61,16 +61,18 @@ def phase_done(state_dir, phase):
     markers = {"data": lambda r: os.path.exists(
                    os.path.join(state_dir, "x.npy")),
                "tune": lambda r: r.get("tuned_hyperparams") is not None,
+               "warm": lambda r: r.get("warm_sec") is not None,
                "fit": lambda r: r.get("train_sample_rmse") is not None,
                "verify": lambda r: r.get("nmll_rel_delta") is not None}
     return markers[phase](result)
 
 
-def run_phase(phase, args):
+def run_phase(phase, args, extra=()):
     cmd = [sys.executable, "scripts/million_point_tune_fit.py",
            "--phase", phase, "--state-dir", args.state_dir]
     if args.stacked:
         cmd.append("--stacked")
+    cmd.extend(extra)
     log(f"running: {' '.join(cmd)} (timeout {args.phase_timeout}s)")
     t0 = time.time()
     try:
@@ -93,18 +95,28 @@ def main():
                     help="per phase")
     ap.add_argument("--phase-timeout", type=int, default=7200)
     ap.add_argument("--recovery-sleep", type=int, default=600)
+    ap.add_argument("--fallback-after", type=int, default=3,
+                    help="switch CG to --looped-cg (small per-iteration "
+                         "dispatches instead of one big fused compile) "
+                         "after this many failed attempts of a phase")
     args = ap.parse_args()
 
     for phase in args.phases:
         if phase_done(args.state_dir, phase):
             log(f"phase {phase}: already complete, skipping")
             continue
+        extra = []
         for attempt in range(1, args.max_attempts + 1):
+            if attempt == args.fallback_after + 1 and \
+                    phase in ("warm", "fit", "verify") and not extra:
+                log(f"phase {phase}: {args.fallback_after} fused "
+                    "attempts failed; falling back to --looped-cg")
+                extra = ["--looped-cg"]
             while not chip_healthy():
                 log(f"chip unhealthy; sleeping {args.recovery_sleep}s")
                 time.sleep(args.recovery_sleep)
             log(f"phase {phase}: attempt {attempt}/{args.max_attempts}")
-            ok = run_phase(phase, args)
+            ok = run_phase(phase, args, extra)
             if ok and phase_done(args.state_dir, phase):
                 log(f"phase {phase}: COMPLETE")
                 break

@@ -76,3 +76,35 @@ def test_fused_nmll_coefficients_match():
     ld1 = estimate_logdet(a1, b1, 512)
     ld2 = estimate_logdet(a2, b2, 512)
     assert abs(ld1 - ld2) / abs(ld2) < 0.01
+
+
+def test_looped_mode_matches_fused():
+    """config.set_cg_mode('looped') keeps the iteration in Python (one
+    matvec dispatch per CG step -- the reliable form behind fragile
+    device relays) and must reproduce the fused while_loop solve."""
+    import numpy as np
+    from xgpr_tpu import GPRegression, build_regression_dataset
+    from xgpr_tpu import config as xcfg
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2000, 32))
+    y = np.sin(x[:, 0]) + 0.1 * rng.standard_normal(2000)
+    data = build_regression_dataset(x, y, chunk_size=500)
+
+    def solve(mode):
+        xcfg.set_cg_mode(mode)
+        try:
+            m = GPRegression(num_rffs=512, kernel_choice="RBF",
+                             verbose=False)
+            m.set_hyperparams(np.log(np.array([0.1, 0.25])), data)
+            pc, _ = m.build_preconditioner(data, max_rank=64,
+                                           method="srht_2")
+            m.fit(data, preconditioner=pc, mode="cg", suppress_var=True)
+            return np.asarray(m.weights)
+        finally:
+            xcfg.set_cg_mode("fused")
+
+    w_fused = solve("fused")
+    w_looped = solve("looped")
+    rel = np.linalg.norm(w_fused - w_looped) / np.linalg.norm(w_fused)
+    assert rel < 1e-6

@@ -273,6 +273,31 @@ def sincos_mode() -> str:
 
 
 # ----------------------------------------------------------------------
+# CG solver lowering.  "fused" (default) runs the whole PCG as ONE
+# while_loop program over device-resident data -- minimum dispatch
+# latency, but the largest single program the framework compiles.
+# "looped" keeps the iteration in Python, dispatching one matvec
+# reduction per CG step: many small dispatches instead of one big
+# compile.  The looped form is the right choice behind device relays
+# whose workers crash on long fresh compiles (each matvec program is a
+# fraction of the fused program's size and is shared with every other
+# reduction pass), at the cost of per-iteration dispatch latency.
+_CG_MODE = "fused"
+
+
+def set_cg_mode(mode: str):
+    _bump_epoch()
+    global _CG_MODE
+    if mode not in ("fused", "looped"):
+        raise ValueError("cg mode must be fused or looped")
+    _CG_MODE = mode
+
+
+def cg_mode() -> str:
+    return _CG_MODE
+
+
+# ----------------------------------------------------------------------
 # M-dimension sharding for the fused sharded CG (fitting/fused_cg.py
 # fused_cg_solve_msharded).  At num_rffs >~ 32k the replicated CG state
 # and (M, rank) Nystrom factor stop fitting one chip; sharding them over

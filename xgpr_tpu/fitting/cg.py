@@ -31,6 +31,9 @@ class ConjugateGrad:
         """Pick the single-dispatch while_loop solver when the engine's
         data is device-resident; the Python loop remains for streaming
         engines and exotic preconditioners."""
+        from .. import config as _config
+        if _config.cg_mode() == "looped":
+            return None
         if preconditioner is not None and \
                 not hasattr(preconditioner, "u_mat"):
             return None
