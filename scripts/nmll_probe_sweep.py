@@ -36,6 +36,10 @@ def main():
     from xgpr_tpu import GPRegression, build_regression_dataset
     from xgpr_tpu import config as xcfg
     xcfg.set_stacked_limit(4 * 10 ** 9)
+    # The relay worker dies on fresh fused-while_loop compiles (see
+    # ROUND_NOTES round 5); the looped lowering measures the same
+    # per-probe marginal cost through scan-sized programs.
+    xcfg.set_cg_mode("looped")
 
     n, d, num_rffs, rank = 262144, 256, 8192, 512
     rng = np.random.default_rng(0)

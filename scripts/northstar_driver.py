@@ -69,7 +69,10 @@ def phase_done(state_dir, phase):
 
 def run_phase(phase, args, extra=()):
     cmd = [sys.executable, "scripts/million_point_tune_fit.py",
-           "--phase", phase, "--state-dir", args.state_dir]
+           "--phase", phase, "--state-dir", args.state_dir,
+           "--profile", args.profile,
+           "--heldout", str(args.heldout),
+           "--dim", str(args.dim)]
     if args.stacked:
         cmd.append("--stacked")
     cmd.extend(extra)
@@ -90,6 +93,9 @@ def main():
     ap.add_argument("--phases", nargs="+",
                     default=["data", "tune", "fit", "verify"])
     ap.add_argument("--state-dir", default="/tmp/northstar_state")
+    ap.add_argument("--profile", default="windows")
+    ap.add_argument("--heldout", type=int, default=0)
+    ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--stacked", action="store_true", default=True)
     ap.add_argument("--max-attempts", type=int, default=10,
                     help="per phase")

@@ -155,3 +155,31 @@ def test_conv_parts_fast_sincos_mode():
     tol = 4.1e-5 * nw
     assert np.abs(np.asarray(c) - c_x).max() < tol
     assert np.abs(np.asarray(s) - s_x).max() < tol
+
+
+@pytest.mark.parametrize("split", [True, False])
+def test_conv_parts_split_schedule_matches_oracle(monkeypatch, split):
+    """Both block schedules -- the default half-block MXU/VPU interleave
+    and the plain single-block form -- must match the XLA oracle (the
+    split only reorders work within a window block)."""
+    from xgpr_tpu.ops.pallas import conv_pallas as cp
+    monkeypatch.setattr(cp, "_SPLIT", split)
+    n, l, d, width, num_freqs = 24, 30, 21, 9, 256
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((n, l, d)).astype(np.float32)
+    seq_len = rng.integers(width, l + 1, size=(n,)).astype(np.int32)
+    radem, chi, proj = _state(5, width * d, num_freqs)
+    sigma = np.float32(0.61)
+    c_p, s_p = conv_parts_pallas(jnp.asarray(x), jnp.asarray(seq_len),
+                                 proj, sigma, width, num_freqs,
+                                 interpret=True)
+    from xgpr_tpu.ops.sorf import rbf_norm_constant
+    c_x, s_x = conv_rbf_features(jnp.asarray(x), jnp.asarray(seq_len),
+                                 jnp.asarray(radem), jnp.asarray(chi),
+                                 sigma, width, 0, parts=True, proj=proj)
+    base = rbf_norm_constant(num_freqs, fit_intercept=False)
+    c_x = np.asarray(c_x, np.float64) / base
+    s_x = np.asarray(s_x, np.float64) / base
+    tol = 3e-5 * max(1.0, np.abs(c_x).max(), np.abs(s_x).max())
+    assert np.abs(np.asarray(c_p) - c_x).max() < tol
+    assert np.abs(np.asarray(s_p) - s_x).max() < tol

@@ -43,7 +43,15 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 _RD = 16    # datapoint rows per tile
 _BW = 16    # windows per block
 _FT = 2048  # frequency tile cap
-_SPLIT = False  # interleave two half-blocks (MXU/VPU overlap experiment)
+# Interleave each window block as two half-blocks: the second half's
+# MXU projection issues between the first half's VPU sincos/reduce
+# chains, giving the scheduler independent MXU and VPU work to overlap.
+# On-chip A/B at the protein matvec shape (scripts/conv_pallas_tune.py,
+# healthy window, round 5): split 19.72 ms/chunk vs 20.30 unsplit
+# (-2.9%); split_bw32 19.85; every tile-size variant tried (RD32, BW32,
+# FT1024, FT4096) measured at or behind the shipped tiles, so the block
+# split is the one scheduling lever that moved the VPU-bound kernel.
+_SPLIT = True
 
 
 def _window_block(num_windows):
