@@ -518,6 +518,89 @@ def phase_verify(args):
     print(json.dumps(result))
 
 
+def phase_slq(args):
+    """SLQ NMLL at --verify-rffs on the accelerator (the estimator the
+    tuner optimizes, executed exactly as tuning executes it)."""
+    import numpy as np
+    from xgpr_tpu import build_regression_dataset
+    result = _load_result(args)
+    vrffs = args.verify_rffs or args.num_rffs
+    if result.get("slq_verify_nmll") is not None and \
+            result.get("verify_rffs") == vrffs:
+        print("SLQ verify value already present; skipping", flush=True)
+        return
+    x, y, lengths = _load_data(args)
+    x, y, lengths = x[:args.rows], y[:args.rows], lengths[:args.rows]
+    hp = np.asarray(result["tuned_hyperparams"])
+    data = build_regression_dataset(x, y, sequence_lengths=lengths,
+                                    chunk_size=args.chunk)
+    model = _make_model(args, vrffs)
+    model.set_hyperparams(hp, data)
+    t0 = time.time()
+    approx = model.approximate_nmll(
+        hp, data, manual_settings={"max_rank": args.max_rank,
+                                   "preconditioner_mode": "srht_2"})
+    result["verify_rffs"] = vrffs
+    result["slq_verify_nmll"] = float(approx)
+    result["slq_verify_sec"] = time.time() - t0
+    _save_result(args, result)
+    print(f"SLQ NMLL @ {vrffs} rffs: {approx:.4f} "
+          f"({result['slq_verify_sec']:.1f}s)", flush=True)
+
+
+def phase_verify64(args):
+    """Reference-grade exact NMLL at full scale: host float64 end to end.
+
+    The on-device fp32 Gram accumulation carries an eigenvalue noise
+    floor that grows with the row count; at n ~ 1e6 it sits ABOVE a
+    well-tuned lambda^2, so the chip-side 'exact' logdet is not a valid
+    gate reference at interior hyperparameters (observed: the motif
+    point's chip exact read 0.95M against an SLQ of 1.18M).  The
+    reference implementation always evaluates exact NMLL in fp64 LAPACK
+    on host; this phase does the same -- features, Gram accumulation,
+    and Cholesky all in float64 on CPU -- and scores the SLQ estimate
+    recorded by phase_slq against it.
+    """
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+    from xgpr_tpu import build_regression_dataset
+    result = _load_result(args)
+    vrffs = args.verify_rffs or args.num_rffs
+    assert result.get("verify_rffs") == vrffs and \
+        result.get("slq_verify_nmll") is not None, \
+        "run --phase slq first at the same --verify-rffs"
+    x, y, lengths = _load_data(args)
+    x, y, lengths = x[:args.rows], y[:args.rows], lengths[:args.rows]
+    hp = np.asarray(result["tuned_hyperparams"])
+    data = build_regression_dataset(x, y, sequence_lengths=lengths,
+                                    chunk_size=args.chunk)
+    model = _make_model(args, vrffs)
+    model.set_hyperparams(hp, data)
+    t0 = time.time()
+    exact = model.exact_nmll(hp, data)
+    result["exact64_nmll"] = float(exact)
+    result["exact64_sec"] = time.time() - t0
+    approx = result["slq_verify_nmll"]
+    delta = abs(approx - exact) / abs(exact)
+    result["nmll_rel_delta"] = float(delta)
+    result["exact_method"] = "host_fp64"
+    result["north_star_tolerance"] = 1e-3
+    result["nmll_within_tolerance"] = bool(delta < 1e-3)
+    print(f"host-fp64 exact NMLL @ {vrffs} rffs: {exact:.4f} "
+          f"({result['exact64_sec']:.1f}s); rel delta {delta:.2e} "
+          f"{'PASS' if delta < 1e-3 else 'FAIL'} (tol 1e-3)", flush=True)
+    _save_result(args, result)
+
+    out_path = args.out or _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "NORTHSTAR_r05.json")
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_000_000)
@@ -551,8 +634,12 @@ def main():
     ap.add_argument("--stacked", action="store_true",
                     help="raise the stacked limit so the dataset is "
                          "held device-resident (needs the HBM headroom)")
+    ap.add_argument("--verify-rffs", type=int, default=None,
+                    help="feature count for the slq/verify64 gate "
+                         "phases (default: num_rffs)")
     ap.add_argument("--phase", default="all",
-                    choices=["all", "data", "tune", "warm", "fit", "verify"],
+                    choices=["all", "data", "tune", "warm", "fit",
+                             "verify", "slq", "verify64"],
                     help="run one pipeline phase (state shared via "
                          "--state-dir) or everything in-process")
     ap.add_argument("--state-dir", default="/tmp/northstar_state")
@@ -575,7 +662,8 @@ def main():
 
     phases = {"data": phase_data, "tune": phase_tune,
               "warm": phase_warm, "fit": phase_fit,
-              "verify": phase_verify}
+              "verify": phase_verify, "slq": phase_slq,
+              "verify64": phase_verify64}
     if args.phase == "all":
         for name in ("data", "tune", "fit", "verify"):
             phases[name](args)

@@ -63,7 +63,11 @@ def phase_done(state_dir, phase):
                "tune": lambda r: r.get("tuned_hyperparams") is not None,
                "warm": lambda r: r.get("warm_sec") is not None,
                "fit": lambda r: r.get("train_sample_rmse") is not None,
-               "verify": lambda r: r.get("nmll_rel_delta") is not None}
+               "verify": lambda r: r.get("nmll_rel_delta") is not None,
+               "slq": lambda r: r.get("slq_verify_nmll") is not None,
+               "verify64": lambda r:
+                   r.get("exact_method") == "host_fp64" and
+                   r.get("nmll_rel_delta") is not None}
     return markers[phase](result)
 
 
@@ -73,6 +77,8 @@ def run_phase(phase, args, extra=()):
            "--profile", args.profile,
            "--heldout", str(args.heldout),
            "--dim", str(args.dim)]
+    if args.verify_rffs:
+        cmd.extend(["--verify-rffs", str(args.verify_rffs)])
     if args.stacked:
         cmd.append("--stacked")
     cmd.extend(extra)
@@ -96,6 +102,7 @@ def main():
     ap.add_argument("--profile", default="windows")
     ap.add_argument("--heldout", type=int, default=0)
     ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--verify-rffs", type=int, default=None)
     ap.add_argument("--stacked", action="store_true", default=True)
     ap.add_argument("--max-attempts", type=int, default=10,
                     help="per phase")
@@ -114,7 +121,7 @@ def main():
         extra = []
         for attempt in range(1, args.max_attempts + 1):
             if attempt == args.fallback_after + 1 and \
-                    phase in ("warm", "fit", "verify") and not extra:
+                    phase in ("warm", "fit", "verify", "slq") and not extra:
                 log(f"phase {phase}: {args.fallback_after} fused "
                     "attempts failed; falling back to --looped-cg")
                 extra = ["--looped-cg"]

@@ -20,8 +20,32 @@ def direct_weight_calc(z_trans_z, z_trans_y, lambda_):
     Returns (chol, weights).  Raises FloatingPointError if the matrix is
     not positive definite (NaNs in the factor), mirroring the reference's
     LAPACK exception contract.
+
+    When the Gram matrix arrives in fp32 (the TPU working dtype), the
+    factorization runs on HOST in float64: the unnormalized entries are
+    O(n)-scale sums, so at n ~ 1e6 a well-tuned lambda^2 sits BELOW the
+    fp32 roundoff of the diagonal and an on-device fp32 Cholesky breaks
+    down at exactly the well-conditioned interior points tuning finds
+    (observed at the 1M north-star verify).  The reference always runs
+    this step in fp64 LAPACK (scoring_toolkit/exact_nmll_calcs.py); one
+    host factorization of the small (M, M) matrix keeps that contract
+    without any device round-trip of the fp64 factor.
     """
     m = z_trans_z.shape[0]
+    if z_trans_z.dtype != jnp.float64:
+        import numpy as np
+        from scipy import linalg as sp_linalg
+        a = np.asarray(z_trans_z, dtype=np.float64)
+        a[np.arange(m), np.arange(m)] += float(lambda_) ** 2
+        try:
+            chol = sp_linalg.cholesky(a, lower=True, check_finite=False)
+        except np.linalg.LinAlgError as err:
+            raise FloatingPointError(
+                "Design matrix is not positive definite.") from err
+        weights = sp_linalg.cho_solve(
+            (chol, True), np.asarray(z_trans_y, dtype=np.float64),
+            check_finite=False)
+        return chol, jnp.asarray(weights, dtype=z_trans_z.dtype)
     a = z_trans_z + (lambda_ ** 2) * jnp.eye(m, dtype=z_trans_z.dtype)
     chol = jnp.linalg.cholesky(a)
     if bool(jnp.any(jnp.isnan(chol))):

@@ -302,7 +302,10 @@ class GPRegression(ModelBaseclass):
             return constants.DEFAULT_SCORE_IF_PROBLEM
 
         nll1 = float(0.5 * (y_trans_y - z_trans_y @ weights))
-        nll2 = float(jnp.sum(jnp.log(jnp.diag(chol))))
+        # chol may be a host-fp64 factor (see direct_weight_calc); sum
+        # its log-diagonal on host rather than round-tripping the full
+        # (M, M) factor through a slow device link.
+        nll2 = float(np.sum(np.log(np.diagonal(np.asarray(chol)))))
         negloglik, _ = optimize_alpha_beta(
             self.kernel.get_lambda(), np.array([nll1, nll2]), ndatapoints,
             self.kernel.get_num_rffs())
