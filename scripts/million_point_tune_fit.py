@@ -536,11 +536,16 @@ def phase_slq(args):
                                     chunk_size=args.chunk)
     model = _make_model(args, vrffs)
     model.set_hyperparams(hp, data)
+    # At small --verify-rffs the fit-phase rank would be near-full and
+    # make the SLQ gate trivial; keep the rank genuinely << num_rffs so
+    # the Lanczos quadrature is doing real estimation work.
+    vrank = args.verify_rank or min(args.max_rank, vrffs // 4)
     t0 = time.time()
     approx = model.approximate_nmll(
-        hp, data, manual_settings={"max_rank": args.max_rank,
+        hp, data, manual_settings={"max_rank": vrank,
                                    "preconditioner_mode": "srht_2"})
     result["verify_rffs"] = vrffs
+    result["verify_rank"] = int(vrank)
     result["slq_verify_nmll"] = float(approx)
     result["slq_verify_sec"] = time.time() - t0
     _save_result(args, result)
@@ -637,6 +642,9 @@ def main():
     ap.add_argument("--verify-rffs", type=int, default=None,
                     help="feature count for the slq/verify64 gate "
                          "phases (default: num_rffs)")
+    ap.add_argument("--verify-rank", type=int, default=None,
+                    help="preconditioner rank for the slq gate phase "
+                         "(default: min(max_rank, verify_rffs // 4))")
     ap.add_argument("--phase", default="all",
                     choices=["all", "data", "tune", "warm", "fit",
                              "verify", "slq", "verify64"],

@@ -79,6 +79,8 @@ def run_phase(phase, args, extra=()):
            "--dim", str(args.dim)]
     if args.verify_rffs:
         cmd.extend(["--verify-rffs", str(args.verify_rffs)])
+    if args.out:
+        cmd.extend(["--out", args.out])
     if args.stacked:
         cmd.append("--stacked")
     cmd.extend(extra)
@@ -103,6 +105,8 @@ def main():
     ap.add_argument("--heldout", type=int, default=0)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--verify-rffs", type=int, default=None)
+    ap.add_argument("--out", default=None,
+                    help="artifact path forwarded to the verify phases")
     ap.add_argument("--stacked", action="store_true", default=True)
     ap.add_argument("--max-attempts", type=int, default=10,
                     help="per phase")
