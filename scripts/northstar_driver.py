@@ -65,6 +65,7 @@ def phase_done(state_dir, phase):
                "fit": lambda r: r.get("train_sample_rmse") is not None,
                "verify": lambda r: r.get("nmll_rel_delta") is not None,
                "slq": lambda r: r.get("slq_verify_nmll") is not None,
+               "slq64": lambda r: r.get("slq64_nmll") is not None,
                "verify64": lambda r:
                    r.get("exact_method") == "host_fp64" and
                    r.get("nmll_rel_delta") is not None}

@@ -16,16 +16,15 @@ from scipy.optimize import minimize
 from .baseclass import ModelBaseclass
 from .. import config as _cfg
 from .. import constants
-from ..fitting.cg import ConjugateGrad, cg_fit
+from ..fitting.cg import cg_fit
 from ..fitting.exact import (calc_weights_exact, calc_variance_exact,
                              direct_weight_calc)
 from ..preconditioners.nystrom import NystromPreconditioner
-from ..scoring.slq import estimate_logdet
+from ..scoring.slq import slq_nmll_from_engine
 from ..scoring.alpha_beta import optimize_alpha_beta
 from ..scoring.gradient import exact_nmll_reg_grad
 from ..scoring.lb_optimizer import shared_hparam_search
 from ..scoring.surrogate_tuner import surrogate_grid_tuning
-from ..utils import rng as state_rng
 
 
 class GPRegression(ModelBaseclass):
@@ -387,33 +386,10 @@ class GPRegression(ModelBaseclass):
         if self.verbose:
             print("Now fitting...")
 
-        num_rffs = self.kernel.get_num_rffs()
-        nsamples = settings["nsamples"]
-        probes = jnp.asarray(state_rng.normal_probes(
-            self.random_seed, num_rffs, nsamples))
-        probes = preconditioner.matvec_for_sampling(probes)
-
-        z_trans_y = preconditioner.get_zty()
-        y_trans_y = preconditioner.get_yty()
-        ndatapoints = dataset.get_ndatapoints()
-
-        rhs = jnp.concatenate(
-            [jnp.asarray(z_trans_y)[:, None] / ndatapoints,
-             probes.astype(jnp.asarray(z_trans_y).dtype)], axis=1)
-
-        cg = ConjugateGrad(engine)
-        x_k, alphas, betas = cg.fit(rhs, self.kernel.get_lambda(),
-                                    preconditioner,
-                                    settings["nmll_iter"],
-                                    settings["nmll_tol"], verbose=False,
-                                    nmll_settings=True)
-        x0 = x_k[:, 0] * ndatapoints
-        logdet = estimate_logdet(alphas, betas, num_rffs, preconditioner)
-        nll1 = float(0.5 * (y_trans_y - jnp.asarray(z_trans_y) @ x0))
-        negloglik, _ = optimize_alpha_beta(
-            self.kernel.get_lambda(), np.array([nll1, 0.5 * logdet]),
-            ndatapoints, num_rffs)
-        return negloglik
+        return slq_nmll_from_engine(
+            engine, preconditioner, self.random_seed,
+            settings["nsamples"], settings["nmll_iter"],
+            settings["nmll_tol"])
 
     # ------------------------------------------------------------------
     def fit(self, dataset, preconditioner=None, tol=1e-6, max_iter=500,

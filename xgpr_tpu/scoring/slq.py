@@ -14,6 +14,48 @@ import numpy as np
 from scipy.linalg import eigh_tridiagonal
 
 
+def slq_nmll_from_engine(engine, preconditioner, random_seed, nsamples,
+                         nmll_iter, nmll_tol):
+    """Approximate NMLL via preconditioned CG + SLQ over any engine.
+
+    The estimator only touches the data through the engine's ``ztzv``
+    reduction and the preconditioner's stored Z^T y / y^T y, so the same
+    code scores a streamed dataset (models.regression.approximate_nmll,
+    parity xgp_regression.py:264-377) or an exact cached Gram
+    (fitting.gram_engine.GramEngine -- the reference-grade float64
+    verification path).
+    """
+    import jax.numpy as jnp
+    from ..fitting.cg import ConjugateGrad
+    from ..utils import rng as state_rng
+    from .alpha_beta import optimize_alpha_beta
+
+    num_rffs = engine.num_rffs
+    probes = jnp.asarray(state_rng.normal_probes(
+        random_seed, num_rffs, nsamples))
+    probes = preconditioner.matvec_for_sampling(probes)
+
+    z_trans_y = preconditioner.get_zty()
+    y_trans_y = preconditioner.get_yty()
+    ndatapoints = engine.ndatapoints
+
+    rhs = jnp.concatenate(
+        [jnp.asarray(z_trans_y)[:, None] / ndatapoints,
+         probes.astype(jnp.asarray(z_trans_y).dtype)], axis=1)
+
+    cg = ConjugateGrad(engine)
+    x_k, alphas, betas = cg.fit(rhs, engine.kernel.get_lambda(),
+                                preconditioner, nmll_iter, nmll_tol,
+                                verbose=False, nmll_settings=True)
+    x0 = x_k[:, 0] * ndatapoints
+    logdet = estimate_logdet(alphas, betas, num_rffs, preconditioner)
+    nll1 = float(0.5 * (y_trans_y - jnp.asarray(z_trans_y) @ x0))
+    negloglik, _ = optimize_alpha_beta(
+        engine.kernel.get_lambda(), np.array([nll1, 0.5 * logdet]),
+        ndatapoints, num_rffs)
+    return negloglik
+
+
 def estimate_logdet(alphas, betas, num_rffs, preconditioner=None):
     """alphas/betas: (niter, nprobes) numpy arrays from the CG run.
 
