@@ -742,7 +742,7 @@ def main():
                          "--state-dir) or everything in-process")
     ap.add_argument("--state-dir", default="/tmp/northstar_state")
     ap.add_argument("--out", default=None,
-                    help="artifact path (default NORTHSTAR_r04.json)")
+                    help="artifact path (default NORTHSTAR_r05.json)")
     args = ap.parse_args()
 
     import jax

@@ -43,7 +43,7 @@ def test_preconditioner_failure_returns_sentinel(data, monkeypatch):
 
 
 def test_slq_failure_returns_sentinel(data, monkeypatch):
-    from xgpr_tpu.models import regression as reg
+    from xgpr_tpu.scoring import slq
 
     model = GPRegression(num_rffs=512, kernel_choice="RBF", verbose=False)
     model.set_hyperparams(HPARAMS, data)
@@ -51,7 +51,7 @@ def test_slq_failure_returns_sentinel(data, monkeypatch):
     def explode(*a, **k):
         raise FloatingPointError("SLQ: no usable probe sequences.")
 
-    monkeypatch.setattr(reg, "estimate_logdet", explode)
+    monkeypatch.setattr(slq, "estimate_logdet", explode)
     with pytest.warns(UserWarning):
         score = model.approximate_nmll(HPARAMS, data)
     assert score == constants.DEFAULT_SCORE_IF_PROBLEM
